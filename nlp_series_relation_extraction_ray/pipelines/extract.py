@@ -1,0 +1,156 @@
+"""Triple-extraction pipeline: transcripts Dataset -> triples Dataset.
+
+Ray-Data-first layout (SURVEY §7.1 step 2/3):
+
+    transcripts (conv_id, turn_idx, role, text, tool, ts)
+      └─ map_batches(Extractor(head), concurrency=N, batch_format="pyarrow")
+           └─ triples (conv_id, turn_idx, head, predicate, subject,
+                       subject_type, object_json, object_type_json,
+                       object_value)
+
+The Extractor is a STATEFUL actor-pool stage: head construction, schema
+dicts and (for real models) weights load once in ``__init__``; ``__call__``
+scores+decodes one Arrow batch and emits triple rows — score and decode are
+fused in-call so per-example logit tensors (incl. the O(L²R) MHS tensor)
+never become dataset rows and no cross-batch state exists (the reference's
+driver-side ``answer_dict`` accumulator, ``run_mpn.py:70``, is eliminated).
+
+Scorers are pluggable (SURVEY §7.0): the default "oracle" scorer synthesizes
+the probabilities a perfect model would emit from the deterministic fixture
+KB (or from a broadcast gold lookup via ``ray.put``); a neural scorer drops
+into the same slot.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..sources import transcripts as tsrc
+from ..stages import base as stages_base
+
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("head", pa.string()),
+        ("predicate", pa.string()),
+        ("subject", pa.string()),
+        ("subject_type", pa.string()),
+        ("object_json", pa.string()),
+        ("object_type_json", pa.string()),
+        ("object_value", pa.string()),
+    ]
+)
+
+ENTITY_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("head", pa.string()),
+        ("entities_json", pa.string()),
+    ]
+)
+
+
+def _synthetic_gold(conv_id: str, turn_idx: int) -> list[dict]:
+    i = int(conv_id.rsplit("-", 1)[1])
+    spo = tsrc.fact_for(i, turn_idx)
+    return [spo] if spo is not None else []
+
+
+class Extractor:
+    """Actor-pool callable for ``map_batches``.
+
+    ``gold_ref``: optional ``ray.ObjectRef`` to a broadcast
+    ``{(conv_id, turn_idx): spo_list}`` dict (``ray.put`` once, read per
+    actor); when None the gold is re-derived from the deterministic fixture
+    arithmetic — fully streaming, nothing broadcast.
+    """
+
+    def __init__(self, head: str, gold_ref=None, emit: str = "triples"):
+        self.head = stages_base.get_head(head)
+        self.emit = emit
+        self._gold_lookup = None
+        if gold_ref is not None:
+            import ray
+
+            self._gold_lookup = ray.get(gold_ref)
+
+    def gold_for(self, conv_id: str, turn_idx: int) -> list[dict]:
+        if self._gold_lookup is not None:
+            return self._gold_lookup.get((conv_id, turn_idx), [])
+        return _synthetic_gold(conv_id, turn_idx)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch["conv_id"].to_pylist()
+        turn_idxs = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        head = self.head
+
+        if self.emit == "entities":
+            out = {"conv_id": [], "turn_idx": [], "head": [], "entities_json": []}
+        else:
+            out = {k: [] for k in TRIPLE_SCHEMA.names}
+
+        for cid, tix, text in zip(conv_ids, turn_idxs, texts):
+            ex = head.preprocess(text)
+            gold = self.gold_for(cid, tix)
+            scores = head.oracle_scores(ex, gold)
+            entity_list, spo_list = head.decode(ex, scores)
+            if self.emit == "entities":
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(tix)
+                out["head"].append(head.name)
+                out["entities_json"].append(
+                    json.dumps(entity_list, ensure_ascii=False)
+                )
+                continue
+            for spo in spo_list:
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(tix)
+                out["head"].append(head.name)
+                out["predicate"].append(spo["predicate"])
+                out["subject"].append(spo["subject"])
+                out["subject_type"].append(spo["subject_type"])
+                out["object_json"].append(
+                    json.dumps(spo["object"], ensure_ascii=False, sort_keys=True)
+                )
+                out["object_type_json"].append(
+                    json.dumps(spo["object_type"], ensure_ascii=False,
+                               sort_keys=True)
+                )
+                out["object_value"].append(spo["object"].get("@value", ""))
+
+        schema = ENTITY_SCHEMA if self.emit == "entities" else TRIPLE_SCHEMA
+        return pa.Table.from_pydict(
+            {name: pa.array(out[name], schema.field(name).type)
+             for name in schema.names}
+        )
+
+
+def extract_triples(
+    transcripts_ds,
+    head: str = "baseline",
+    gold_ref=None,
+    emit: str = "triples",
+    concurrency=None,
+    batch_size: int = 128,
+):
+    """transcripts Dataset -> triples (or per-turn entities) Dataset."""
+    if concurrency is None:
+        import ray
+
+        # autoscaling actor pool: leave headroom for upstream read/generate
+        # tasks so no stage starves under the streaming executor
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, cpus - 1))
+    return transcripts_ds.map_batches(
+        Extractor,
+        fn_constructor_kwargs={"head": head, "gold_ref": gold_ref, "emit": emit},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

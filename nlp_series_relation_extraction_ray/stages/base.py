@@ -1,0 +1,56 @@
+"""Head protocol + registry.
+
+The reference implements four parallel extraction heads, each the triple
+``(read_examples, Dataset/collate, model+decoder)`` wired by a near-identical
+run script (``/root/reference/run_baseline.py:144-225``, ``run_mpn.py:110-209``,
+``run_mhs.py:101-213``, ``run_mhs_biaffine.py:101-215``).  Here a head is a
+class with three methods, and the actor-pool stage
+(``pipelines/extract.py``) calls them per turn inside ``map_batches``:
+
+- ``preprocess(text) -> ex`` : tokenize + alignment (an ``Example`` analog);
+- ``oracle_scores(ex, spo_list)`` : synthesize the probabilities a perfect
+  model would emit, via the reference's label-builder semantics (SURVEY §7.0 —
+  trained weights are unavailable, so correctness is pinned by label→decode
+  round trips; a real neural scorer drops into the same slot);
+- ``decode(ex, scores) -> (entity_list, spo_list)`` : the deterministic
+  logits→SPO algorithms (D1–D4), cited per head module.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+
+class Head(Protocol):
+    name: str
+    normalizes_text: bool  # MPN/MHS strip ®◆ before tokenizing; baseline does not
+
+    def preprocess(self, text: str) -> dict: ...
+
+    def oracle_scores(self, ex: dict, spo_list: list[dict]): ...
+
+    def decode(self, ex: dict, scores) -> tuple[list[str], list[dict]]: ...
+
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register_head(cls):
+    _REGISTRY[cls.name] = cls
+    return cls
+
+
+def get_head(name: str) -> "Head":
+    try:
+        return _REGISTRY[name]()
+    except KeyError:
+        raise KeyError(f"unknown head {name!r}; have {sorted(_REGISTRY)}") from None
+
+
+def head_names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def normalize_text(text: str) -> str:
+    """M1 normalizer: strip ® and ◆ (parity: dataset/dataset_mpn.py:36-37)."""
+    return text.replace("®", "").replace("◆", "")

@@ -1,0 +1,115 @@
+"""Graph materialize: triples -> deduplicated, weighted edge table (G5).
+
+Edge identity = (src_id, dst_id, predicate, qualifiers); exact dedup is a
+hash-partition + per-group reduce: an in-batch combiner first collapses each
+batch to one partial row per edge key (carrying partial weight + a capped
+provenance sample), then one ``groupby(edge_key)`` merges partials.  Entity
+ids come from the broadcast-KB linker (map-side, no shuffle join).
+
+Provenance is a deterministic sample: the lexicographically-first
+``PROVENANCE_CAP`` "(conv_id, turn_idx)" refs — capped so a hot edge cannot
+grow an unbounded list column at corpus scale.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+
+from .linking import EntityLinker
+
+PROVENANCE_CAP = 16
+
+EDGE_SCHEMA = pa.schema(
+    [
+        ("src_id", pa.string()),
+        ("dst_id", pa.string()),
+        ("predicate", pa.string()),
+        ("qualifiers_json", pa.string()),
+        ("weight", pa.int64()),
+        ("provenance_json", pa.string()),
+    ]
+)
+
+
+class EdgePartials:
+    """Actor-pool combiner: triple batch -> partial edge rows."""
+
+    def __init__(self, alias_index_ref=None):
+        self.linker = EntityLinker(alias_index_ref=alias_index_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        acc: dict[tuple, dict] = {}
+        for i in range(batch.num_rows):
+            obj = json.loads(batch["object_json"][i].as_py())
+            otypes = json.loads(batch["object_type_json"][i].as_py())
+            subject = batch["subject"][i].as_py()
+            src_id, _ = self.linker.link_one(
+                subject, batch["subject_type"][i].as_py()
+            )
+            dst_id, _ = self.linker.link_one(
+                obj.get("@value", ""), otypes.get("@value", "Text")
+            )
+            qualifiers = {k: v for k, v in obj.items() if k != "@value"}
+            key = (
+                src_id,
+                dst_id,
+                batch["predicate"][i].as_py(),
+                json.dumps(qualifiers, ensure_ascii=False, sort_keys=True),
+            )
+            prov = f"{batch['conv_id'][i].as_py()}:{batch['turn_idx'][i].as_py()}"
+            a = acc.setdefault(key, {"weight": 0, "prov": []})
+            a["weight"] += 1
+            a["prov"].append(prov)
+        for a in acc.values():
+            a["prov"] = sorted(a["prov"])[:PROVENANCE_CAP]
+        return pa.Table.from_pydict(
+            {
+                "src_id": pa.array([k[0] for k in acc], pa.string()),
+                "dst_id": pa.array([k[1] for k in acc], pa.string()),
+                "predicate": pa.array([k[2] for k in acc], pa.string()),
+                "qualifiers_json": pa.array([k[3] for k in acc], pa.string()),
+                "weight": pa.array([a["weight"] for a in acc.values()], pa.int64()),
+                "provenance_json": pa.array(
+                    [json.dumps(a["prov"]) for a in acc.values()], pa.string()
+                ),
+            }
+        )
+
+
+def _merge_edges(df: pd.DataFrame) -> pd.DataFrame:
+    prov: list[str] = []
+    for pj in df["provenance_json"]:
+        prov.extend(json.loads(pj))
+    prov = sorted(set(prov))[:PROVENANCE_CAP]
+    return pd.DataFrame(
+        {
+            "src_id": [df["src_id"].iloc[0]],
+            "dst_id": [df["dst_id"].iloc[0]],
+            "predicate": [df["predicate"].iloc[0]],
+            "qualifiers_json": [df["qualifiers_json"].iloc[0]],
+            "weight": [int(df["weight"].sum())],
+            "provenance_json": [json.dumps(prov)],
+        }
+    )
+
+
+def materialize_edges(triples_ds, alias_index_ref=None, concurrency=None):
+    """Triples Dataset -> deduplicated weighted edges Dataset."""
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, cpus - 1))
+    partials = triples_ds.map_batches(
+        EdgePartials,
+        fn_constructor_kwargs={"alias_index_ref": alias_index_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return partials.groupby(
+        ["src_id", "dst_id", "predicate", "qualifiers_json"]
+    ).map_groups(_merge_edges, batch_format="pandas")

@@ -1,0 +1,54 @@
+"""Resumable per-partition checkpointing: kill/rerun yields identical output
+and skips completed partitions (north_rule resumability)."""
+
+import json
+import os
+import shutil
+
+from nlp_series_relation_extraction_ray.state.checkpoint import (
+    manifest_path,
+    partition_ranges,
+    read_all_partitions,
+    run_partitioned_extraction,
+)
+
+
+def test_partition_ranges():
+    assert partition_ranges(10, 3) == [(0, 4), (4, 8), (8, 10)]
+    assert partition_ranges(2, 8) == [(0, 1), (1, 2)]
+    assert partition_ranges(0, 4) == [(0, 0)]
+
+
+def _triples_sorted(out_dir):
+    df = read_all_partitions(out_dir).to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_run_skip_resume(ray_session, tmp_path):
+    out = str(tmp_path / "ckpt")
+    s1 = run_partitioned_extraction(48, out, head="baseline", n_partitions=4)
+    assert s1["ran"] == 4 and s1["skipped"] == 0
+    ref = _triples_sorted(out)
+    assert len(ref) > 0
+
+    # manifests carry lineage + metrics
+    with open(manifest_path(out, 0)) as f:
+        m = json.load(f)
+    assert m["status"] == "complete"
+    assert m["lineage"]["conv_lo"] == 0
+    assert m["metrics"]["rows_out"] > 0
+
+    # full rerun: everything skipped, output unchanged
+    s2 = run_partitioned_extraction(48, out, head="baseline", n_partitions=4)
+    assert s2["ran"] == 0 and s2["skipped"] == 4
+    assert _triples_sorted(out).equals(ref)
+
+    # simulate a kill: destroy one completed partition mid-corpus
+    shutil.rmtree(os.path.join(out, "part-0002"))
+    s3 = run_partitioned_extraction(48, out, head="baseline", n_partitions=4)
+    assert s3["ran"] == 1 and s3["skipped"] == 3
+    assert _triples_sorted(out).equals(ref)
+
+    # changed lineage (different head) invalidates fingerprints -> recompute
+    s4 = run_partitioned_extraction(48, out, head="mpn", n_partitions=4)
+    assert s4["ran"] == 4

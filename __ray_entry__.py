@@ -1,44 +1,166 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data KG construction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (transcript synthesis -> triple
+extraction) at sf0.001 scale.  ``queries()`` exposes one callable per
+implemented operator/pipeline (SURVEY §2); ``oracle_sql()`` gives the DuckDB
+mirror for each SQL-expressible one.  The synthetic transcript corpus is a
+pure function of ``documents.doc_id`` (BASELINE.json input_hint shape), which
+is what makes the extraction pipelines SQL-verifiable end-to-end: the oracle
+reproduces the gold triples by integer arithmetic, and oracle-scored decode
+is exact (pinned by pytest round-trip tests).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EXTRACT_COLS = [
+    "conv_id", "turn_idx", "predicate", "subject", "subject_type",
+    "object_json", "object_value",
+]
+
+
+def _n_convs(sf_dir: str) -> int:
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+def _transcripts(sf_dir: str):
+    from nlp_series_relation_extraction_ray.sources.transcripts import (
+        transcripts_dataset,
+    )
+
+    return transcripts_dataset(_n_convs(sf_dir))
+
+
+def _extract(sf_dir: str, head: str):
+    from nlp_series_relation_extraction_ray.pipelines.extract import (
+        extract_triples,
+    )
+
+    ds = extract_triples(_transcripts(sf_dir), head=head)
+    return ds.select_columns(EXTRACT_COLS)
+
+
+def _fixture_gold(sf_dir: str):
+    from nlp_series_relation_extraction_ray.sources.transcripts import (
+        gold_triples_rows,
+    )
+
+    tbl = gold_triples_rows(_n_convs(sf_dir))
+    return tbl.select(EXTRACT_COLS)
+
+
+def _complex_slots(sf_dir: str):
+    triples = _extract(sf_dir, "mpn")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"conv_id": [], "turn_idx": [], "predicate": [], "slot_key": [],
+               "slot_value": []}
+        for i in range(batch.num_rows):
+            obj = json.loads(batch["object_json"][i].as_py())
+            for key in sorted(obj):
+                out["conv_id"].append(batch["conv_id"][i].as_py())
+                out["turn_idx"].append(batch["turn_idx"][i].as_py())
+                out["predicate"].append(batch["predicate"][i].as_py())
+                out["slot_key"].append(key)
+                out["slot_value"].append(obj[key])
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+                "predicate": pa.array(out["predicate"], pa.string()),
+                "slot_key": pa.array(out["slot_key"], pa.string()),
+                "slot_value": pa.array(out["slot_value"], pa.string()),
+            }
+        )
+
+    return triples.map_batches(explode, batch_format="pyarrow")
+
+
+def _reconstruct(sf_dir: str):
+    from nlp_series_relation_extraction_ray.pipelines.kg import (
+        reconstruct_conversations,
+    )
+
+    rec = reconstruct_conversations(_transcripts(sf_dir))
+    return rec.select_columns(["conv_id", "n_turns", "turn_idx_sum", "n_roles"])
+
+
+def _kg_nodes(sf_dir: str):
+    import ray
+
+    from nlp_series_relation_extraction_ray.pipelines.extract import (
+        extract_triples,
+    )
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_nodes
+    from nlp_series_relation_extraction_ray.sources.kb import build_alias_index
+
+    triples = extract_triples(_transcripts(sf_dir), head="baseline")
+    nodes = kg_nodes(triples, alias_index_ref=ray.put(build_alias_index()))
+    return nodes.select_columns(
+        ["entity_id", "canonical_name", "entity_type", "mention_count",
+         "aliases_json"]
+    )
+
+
+def _kg_edges(sf_dir: str):
+    import ray
+
+    from nlp_series_relation_extraction_ray.pipelines.extract import (
+        extract_triples,
+    )
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_edges
+    from nlp_series_relation_extraction_ray.sources.kb import build_alias_index
+
+    triples = extract_triples(_transcripts(sf_dir), head="baseline")
+    return kg_edges(triples, alias_index_ref=ray.put(build_alias_index()))
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full extraction over the sf0.001-scale synthetic corpus."""
+    return _extract("/root/testdata/sf0.001", "baseline")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        "fixture_gold_triples": _fixture_gold,
+        "extract_triples_baseline": lambda sf: _extract(sf, "baseline"),
+        "extract_triples_mpn": lambda sf: _extract(sf, "mpn"),
+        "extract_triples_mhs": lambda sf: _extract(sf, "mhs"),
+        "extract_triples_biaffine": lambda sf: _extract(sf, "biaffine"),
+        "extract_complex_slots": _complex_slots,
+        "transcripts_reconstruct": _reconstruct,
+        "kg_nodes": _kg_nodes,
+        "kg_edges": _kg_edges,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nlp_series_relation_extraction_ray.sources import fixture_sql as fsql
+
+    gold = fsql.gold_triples_sql()
+    return {
+        "fixture_gold_triples": gold,
+        "extract_triples_baseline": gold,
+        "extract_triples_mpn": gold,
+        "extract_triples_mhs": gold,
+        "extract_triples_biaffine": gold,
+        "extract_complex_slots": fsql.gold_slots_sql(),
+        "transcripts_reconstruct": fsql.reconstruct_sql(),
+        "kg_nodes": fsql.kg_nodes_sql(),
+        "kg_edges": fsql.kg_edges_sql(),
+    }

@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate: every queries() entry vs
+its oracle_sql() DuckDB mirror at sf0.001 — row count, column names, and
+order-insensitive values must match exactly."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_df(x) -> pd.DataFrame:
+    return x.to_pandas() if hasattr(x, "to_pandas") else pd.DataFrame(x)
+
+
+def _check(entry_mod, con, name):
+    ray_df = _canon(_to_df(entry_mod.queries()[name](SF)))
+    ora_df = _canon(con.execute(entry_mod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(ora_df.columns)
+    assert len(ray_df) == len(ora_df)
+    for c in ray_df.columns:
+        if ray_df[c].dtype == object:
+            ora_df[c] = ora_df[c].astype(str)
+        else:
+            ora_df[c] = ora_df[c].astype(ray_df[c].dtype)
+    pd.testing.assert_frame_equal(ray_df, ora_df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "fixture_gold_triples",
+        "extract_triples_baseline",
+        "extract_triples_mpn",
+        "extract_complex_slots",
+        "transcripts_reconstruct",
+        "kg_nodes",
+        "kg_edges",
+    ],
+)
+def test_query_matches_oracle(entry_mod, con, name):
+    _check(entry_mod, con, name)
+
+
+def test_every_query_has_rows_and_callables(entry_mod):
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    assert set(sqls) <= set(qs)
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_entry_smoke(entry_mod):
+    ds = entry_mod.entry()
+    assert ds.count() > 0
+    assert "predicate" in ds.schema().names
+
+
+def test_kb_alias_uniqueness():
+    """The SQL kb join assumes alias surfaces are globally unique."""
+    from nlp_series_relation_extraction_ray.sources.kb import build_alias_kb
+
+    seen = {}
+    for row in build_alias_kb():
+        for alias in row["aliases"]:
+            assert alias not in seen, (alias, seen.get(alias), row["entity_id"])
+            seen[alias] = row["entity_id"]

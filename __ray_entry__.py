@@ -129,6 +129,65 @@ def _kg_edges(sf_dir: str):
     return kg_edges(triples, alias_index_ref=ray.put(build_alias_index()))
 
 
+def _docs(sf_dir: str):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(sf_dir: str):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _emb_dups(sf_dir: str):
+    """Embedding-cosine near-dup over the corpus plus planted duplicates:
+    the first 20 vectors get slightly-perturbed copies (vec_id + 1_000_000),
+    which the detector must recover (the raw corpus has no near-dups)."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        embedding_dup_pairs,
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["vec_id"].to_pylist()
+        vecs = batch["embedding"].to_pylist()
+        out_ids, out_vecs = list(ids), list(vecs)
+        for vid, vec in zip(ids, vecs):
+            if vid < 20:
+                v = np.asarray(vec, dtype=np.float32)
+                v = v + 0.001 * np.sin(np.arange(len(v)) + vid)
+                out_ids.append(vid + 1_000_000)
+                out_vecs.append(v.tolist())
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(out_vecs, pa.list_(pa.float32())),
+            }
+        )
+
+    ds = _embs(sf_dir).select_columns(["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return embedding_dup_pairs(ds, threshold=0.99)
+
+
+def _media_decode(sf_dir: str):
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.multimodal import (
+        decode_media,
+        synth_media_table,
+    )
+
+    n = min(_n_convs(sf_dir), 200)
+    return decode_media(ray.data.from_arrow(synth_media_table(n)), kind="image")
+
+
 def entry() -> Any:
     """Flagship: full extraction over the sf0.001-scale synthetic corpus."""
     return _extract("/root/testdata/sf0.001", "baseline")
@@ -146,11 +205,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
     }
+
+    from nlp_series_relation_extraction_ray.pipelines import relational as rel
+    from nlp_series_relation_extraction_ray.stages import (
+        dedup as dd,
+        similarity as sim,
+        textstats as ts,
+    )
+
+    q.update(
+        {
+            # relational operators (aggregate / broadcast join / shuffle
+            # join / sort / limit)
+            "q1_pricing_summary": rel.q1_pricing_summary,
+            "q3_top_orders": rel.q3_top_orders,
+            "suppliers_per_region": rel.suppliers_per_region,
+            "events_user_stats": rel.events_user_stats,
+            # dedup family
+            "docs_exact_dedup": lambda sf: dd.exact_dedup(_docs(sf)),
+            "docs_near_dup_pairs": lambda sf: dd.near_dup_pairs(_docs(sf)),
+            "docs_simhash": lambda sf: dd.simhash_table(_docs(sf)),
+            "emb_dup_pairs": _emb_dups,
+            # text analysis
+            "docs_token_stats": lambda sf: ts.token_stats(_docs(sf)),
+            "docs_quality": lambda sf: ts.quality_stats(_docs(sf)),
+            "docs_langid": lambda sf: ts.langid(_docs(sf)),
+            "docs_fingerprints": lambda sf: ts.fingerprints(_docs(sf)),
+            # similarity search
+            "emb_knn_bruteforce": lambda sf: sim.knn_bruteforce(_embs(sf)),
+            "emb_knn_ivf": lambda sf: sim.knn_ivf(_embs(sf)),
+            # multimodal plumbing (stubbed decode kernel)
+            "multimodal_image_decode": _media_decode,
+        }
+    )
     return q
 
 
 def oracle_sql() -> dict[str, str]:
+    from nlp_series_relation_extraction_ray.pipelines import relational as rel
     from nlp_series_relation_extraction_ray.sources import fixture_sql as fsql
+    from nlp_series_relation_extraction_ray.stages import (
+        dedup as dd,
+        similarity as sim,
+        textstats as ts,
+    )
 
     gold = fsql.gold_triples_sql()
     return {
@@ -163,4 +261,18 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_reconstruct": fsql.reconstruct_sql(),
         "kg_nodes": fsql.kg_nodes_sql(),
         "kg_edges": fsql.kg_edges_sql(),
+        "q1_pricing_summary": rel.Q1_SQL,
+        "q3_top_orders": rel.Q3_SQL,
+        "suppliers_per_region": rel.Q5_SQL,
+        "events_user_stats": rel.EVENTS_SQL,
+        "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
+        "docs_token_stats": ts.TOKEN_STATS_SQL,
+        "docs_quality": ts.QUALITY_SQL,
+        "docs_langid": ts.LANGID_SQL,
+        "emb_knn_bruteforce": sim.knn_sql(),
+        # docs_near_dup_pairs / docs_simhash / docs_fingerprints /
+        # emb_dup_pairs / emb_knn_ivf / multimodal_image_decode are
+        # intentionally rows-only (hash-family and approximate operators are
+        # not faithfully SQL-expressible); their semantics are pinned by
+        # pytest goldens instead.
     }

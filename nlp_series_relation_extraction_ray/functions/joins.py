@@ -1,0 +1,95 @@
+"""Join strategies for Ray Data (the reference has no relational joins —
+SURVEY §2.5 — but an engine at corpus scale needs them).
+
+Two physical strategies, chosen by side size:
+
+- ``broadcast_join``: the small side is ``ray.put`` once as a hash map and
+  probed inside ``map_batches`` — a map-side hash join, zero shuffle.  Use
+  whenever one side fits comfortably in a worker heap (dimension tables).
+- ``shuffle_join``: both sides tagged and unioned, then one
+  ``groupby(key)`` co-locates matching keys and ``map_groups`` emits the
+  join — a single all-to-all exchange, the general path for two large
+  tables.  Skewed keys hurt here exactly like any shuffle; pre-filter and
+  pre-project before calling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(
+    large_ds,
+    small_df: pd.DataFrame,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+):
+    """Probe-side map join: ``large_ds`` ⋈ broadcast ``small_df``.
+
+    The small side ships to each task via Ray's object store (zero-copy
+    reads per node, not per batch).
+    """
+    import ray
+
+    small_ref = ray.put(small_df)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        small = ray.get(small_ref)
+        df = batch.to_pandas()
+        out = df.merge(small, how=how, left_on=left_on, right_on=right_on)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return large_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def shuffle_join(left_ds, right_ds, on: str, l_cols=None, r_cols=None):
+    """Distributed hash join via union + groupby(key) co-location.
+
+    Projects each side first (never shuffle unused columns), unions with a
+    side tag, then one groupby moves each key to one reducer where the
+    in-group cartesian join runs.
+    """
+    if l_cols is not None:
+        left_ds = left_ds.select_columns(list(dict.fromkeys([on] + l_cols)))
+    if r_cols is not None:
+        right_ds = right_ds.select_columns(list(dict.fromkeys([on] + r_cols)))
+    # union() unifies schemas (null-filling the other side's columns), so
+    # remember each side's real column set to re-project inside the group
+    l_names = list(left_ds.schema().names)
+    r_names = list(right_ds.schema().names)
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.string())
+            )
+
+        return fn
+
+    tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+        # reindex: a group block may carry only one side's physical schema
+        l = df[df["__side"] == "l"].reindex(columns=l_names)
+        r = df[df["__side"] == "r"].reindex(columns=r_names)
+        # merge on empty sides still yields the full joined column set, so
+        # downstream stages always see a stable schema
+        return l.merge(r, on=on)
+
+    return tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+
+
+def cents(x: np.ndarray | pd.Series) -> np.ndarray:
+    """Deterministic fixed-point money: floor(x*100 + 0.5) as int64.
+
+    Matches DuckDB ``CAST(FLOOR(x*100 + 0.5) AS BIGINT)`` bit-for-bit, so
+    distributed sums are order-independent integers (raw double sums differ
+    across engines/partitionings in the last ulp).
+    """
+    arr = np.asarray(x, dtype=np.float64)
+    return np.floor(arr * 100.0 + 0.5).astype(np.int64)

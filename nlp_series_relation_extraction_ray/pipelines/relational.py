@@ -1,0 +1,296 @@
+"""Relational pipelines over the TPC-H-ish tables (read → prune → partial
+aggregate → small groupby), demonstrating the engine's aggregate / join /
+sort / limit operators in their scale-correct shapes:
+
+- column pruning at the read (``read_parquet(columns=...)``),
+- map-side partial aggregation before every groupby (the combiner),
+- broadcast joins for dimension tables, shuffle join for fact⋈fact,
+- fixed-point cents for money sums (order-independent, oracle-exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.joins import broadcast_join, cents, shuffle_join
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- Q1: pricing summary (filter -> partial agg -> groupby merge) ---------
+
+_Q1_CUTOFF = np.datetime64("1998-09-03")  # l_shipdate < this
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"].to_numpy() < _Q1_CUTOFF]
+        if df.empty:
+            return pa.Table.from_pydict(
+                {k: [] for k in ("l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_base_cents", "sum_disc_cents",
+                                 "sum_charge_cents", "count_order")}
+            )
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        tax = df["l_tax"].to_numpy()
+        df = df.assign(
+            sum_qty=df["l_quantity"].to_numpy().astype(np.int64),
+            sum_base_cents=cents(price),
+            sum_disc_cents=cents(price * (1.0 - disc)),
+            sum_charge_cents=cents(price * (1.0 - disc) * (1.0 + tax)),
+            count_order=1,
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                ["sum_qty", "sum_base_cents", "sum_disc_cents",
+                 "sum_charge_cents", "count_order"]
+            ].sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.iloc[:1][["l_returnflag", "l_linestatus"]].copy()
+        for c in ("sum_qty", "sum_base_cents", "sum_disc_cents",
+                  "sum_charge_cents", "count_order"):
+            out[c] = int(df[c].sum())
+        return out
+
+    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_base_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+    AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+    + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-03'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-ish: top revenue orders for one segment (broadcast dim join) ------
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    import ray
+
+    import pyarrow.compute as pc
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_keys = set(
+        cust.map_batches(
+            lambda b: b.filter(pc.equal(b["c_mktsegment"], segment)).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["c_custkey"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    keys_ref = ray.put(cust_keys)
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df[df["o_custkey"].isin(keys)][["o_orderkey"]],
+            preserve_index=False,
+        )
+
+    order_keys = set(
+        orders.map_batches(filter_orders, batch_format="pyarrow")
+        .to_pandas()["o_orderkey"]
+    )
+    ok_ref = ray.put(order_keys)
+
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ok_ref)
+        df = batch.to_pandas()
+        df = df[df["l_orderkey"].isin(keys)]
+        if df.empty:
+            return pa.Table.from_pydict(
+                {"l_orderkey": [], "revenue_cents": []}
+            )
+        df = df.assign(
+            revenue_cents=cents(
+                df["l_extendedprice"].to_numpy()
+                * (1.0 - df["l_discount"].to_numpy())
+            )
+        )
+        g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = line.map_batches(revenue_partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(df["l_orderkey"].iloc[0])],
+                "revenue_cents": [int(df["revenue_cents"].sum())],
+            }
+        )
+
+    per_order = partials.groupby("l_orderkey").map_groups(
+        merge, batch_format="pandas"
+    )
+    return per_order.sort(
+        ["revenue_cents", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+Q3_SQL = """
+SELECT l_orderkey AS o_orderkey,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+    AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5-ish: suppliers per region (shuffle join + broadcast dim) ----------
+
+
+def suppliers_per_region(sf_dir: str):
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name", "n_regionkey"])
+
+    def cast_key(batch: pa.Table) -> pa.Table:
+        # align join key dtype across sides
+        idx = batch.schema.get_field_index("nationkey")
+        return batch.set_column(
+            idx, "nationkey", batch["nationkey"].cast(pa.int64())
+        )
+
+    sup = sup.rename_columns({"s_nationkey": "nationkey"}).map_batches(
+        cast_key, batch_format="pyarrow"
+    )
+    nation = nation.rename_columns({"n_nationkey": "nationkey"}).map_batches(
+        cast_key, batch_format="pyarrow"
+    )
+    joined = shuffle_join(
+        sup, nation, on="nationkey",
+        l_cols=["s_suppkey"], r_cols=["n_name", "n_regionkey"],
+    )
+
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    region["r_regionkey"] = region["r_regionkey"].astype("int64")
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_regionkey"] = df["n_regionkey"].astype("int64")
+        out = df.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        return pa.Table.from_pandas(
+            out[["r_name", "n_name", "s_suppkey"]], preserve_index=False
+        )
+
+    with_region = joined.map_batches(add_region, batch_format="pyarrow")
+
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": [df["r_name"].iloc[0]],
+                "n_name": [df["n_name"].iloc[0]],
+                "n_suppliers": [len(df)],
+            }
+        )
+
+    return with_region.groupby(["r_name", "n_name"]).map_groups(
+        count_group, batch_format="pandas"
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- events: per-user activity aggregate (windowed-style groupby) ---------
+
+
+def events_user_stats(sf_dir: str):
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.assign(value_cents=cents(df["value"].to_numpy()))
+        g = df.groupby("user_id").agg(
+            n_events=("user_id", "size"),
+            value_cents=("value_cents", "sum"),
+            first_ts=("ts", "min"),
+            last_ts=("ts", "max"),
+            types_list=("event_type", lambda s: "\x00".join(sorted(set(s)))),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        types = set()
+        for t in df["types_list"]:
+            types.update(t.split("\x00"))
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_events": [int(df["n_events"].sum())],
+                "value_cents": [int(df["value_cents"].sum())],
+                "first_ts": [df["first_ts"].min()],
+                "last_ts": [df["last_ts"].max()],
+                "n_types": [len(types)],
+            }
+        )
+
+    return partials.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
+EVENTS_SQL = """
+SELECT user_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS value_cents,
+  MIN(ts) AS first_ts,
+  MAX(ts) AS last_ts,
+  COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""

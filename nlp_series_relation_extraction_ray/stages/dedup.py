@@ -1,0 +1,276 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact dedup is a hash-partition + per-group-first (map-side partials, one
+small groupby).  Near-dup is MinHash+LSH: shingle → minhash signature →
+band buckets → ``groupby(band, bucket)`` candidate generation → exact
+n-gram-Jaccard verification — the scale-correct shape (candidates only ever
+meet inside one band bucket; no all-pairs pass).  SimHash gives a 64-bit
+per-doc fingerprint for Hamming-distance near-dup.  Embedding cosine dup
+finds vector-level duplicates via blocked matmul against a broadcast matrix.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---- exact dedup ---------------------------------------------------------
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode()).hexdigest()
+
+
+def exact_dedup(docs_ds):
+    """(text_md5, keep_doc_id, n_copies): canonical representative per text."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["text_md5"] = [md5_hex(t) for t in df["text"]]
+        g = df.groupby("text_md5", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "text_md5": [df["text_md5"].iloc[0]],
+                "keep_doc_id": [int(df["keep_doc_id"].min())],
+                "n_copies": [int(df["n_copies"].sum())],
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("text_md5")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id,
+  COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---- MinHash + LSH near-dup ----------------------------------------------
+
+NUM_PERM = 64
+NUM_BANDS = 16  # 4 rows/band
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int = NUM_PERM) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(17)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def word_shingles(text: str, n: int = 3) -> set[int]:
+    """Hashed word n-gram shingles."""
+    words = text.split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return {
+        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                       "big") % _MERSENNE
+        for g in grams
+    }
+
+
+def minhash_signature(shingles: set[int]) -> np.ndarray:
+    if not shingles:
+        return np.full(NUM_PERM, _MERSENNE, dtype=np.int64)
+    sh = np.fromiter(shingles, dtype=np.int64)[:, None]  # [S, 1]
+    hashed = (sh * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
+    return hashed.min(axis=0)
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def minhash_band_rows(batch: pa.Table) -> pa.Table:
+    """doc batch -> (band, bucket, doc_id) rows for the LSH groupby."""
+    rows_per_band = NUM_PERM // NUM_BANDS
+    out = {"band": [], "bucket": [], "doc_id": []}
+    for i in range(batch.num_rows):
+        sig = minhash_signature(word_shingles(batch["text"][i].as_py()))
+        did = batch["doc_id"][i].as_py()
+        for band in range(NUM_BANDS):
+            seg = sig[band * rows_per_band : (band + 1) * rows_per_band]
+            bucket = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
+            out["band"].append(band)
+            out["bucket"].append(bucket)
+            out["doc_id"].append(did)
+    return pa.Table.from_pydict(
+        {
+            "band": pa.array(out["band"], pa.int32()),
+            "bucket": pa.array(out["bucket"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+        }
+    )
+
+
+def near_dup_pairs(docs_ds, threshold: float = 0.7, max_bucket: int = 64):
+    """MinHash/LSH candidate pairs verified by exact word-3-gram Jaccard.
+
+    Returns (doc_a, doc_b, jaccard_pct:int64) with doc_a < doc_b.  Buckets
+    larger than ``max_bucket`` are skipped (degenerate content; logged at
+    scale) to bound the in-bucket pair blowup.
+    """
+    import ray
+
+    bands = docs_ds.map_batches(minhash_band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(df["doc_id"]))
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cand = (
+        bands.groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # dedup candidates across bands (tiny relative to corpus)
+    cand_df = cand.to_pandas().drop_duplicates()
+    if cand_df.empty:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "jaccard_pct": pd.Series([], dtype="int64")})
+        )
+
+    # verify: join candidate pairs back to texts via broadcast of needed docs
+    needed = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
+
+    def collect_texts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["doc_id"].isin(needed)][["doc_id", "text"]]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    texts = docs_ds.map_batches(collect_texts, batch_format="pyarrow").to_pandas()
+    text_by_id = dict(zip(texts["doc_id"], texts["text"]))
+    sh_cache: dict[int, set] = {}
+
+    def sh(did: int) -> set:
+        s = sh_cache.get(did)
+        if s is None:
+            s = sh_cache[did] = word_shingles(text_by_id[did])
+        return s
+
+    rows = []
+    for a, b in zip(cand_df["doc_a"], cand_df["doc_b"]):
+        j = jaccard(sh(int(a)), sh(int(b)))
+        if j >= threshold:
+            rows.append((int(a), int(b), int(round(j * 100))))
+    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_pct"]).astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard_pct": "int64"}
+    )
+    return ray.data.from_pandas(out)
+
+
+# ---- SimHash -------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in text.split():
+        h = np.uint64(
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+            )
+        )
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_table(docs_ds):
+    """(doc_id, simhash_hex) per document."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash_hex": pa.array(
+                    [f"{simhash64(t):016x}" for t in batch["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---- embedding cosine near-dup ------------------------------------------
+
+
+def embedding_dup_pairs(emb_ds, threshold: float = 0.99):
+    """(vec_a, vec_b) pairs with cosine >= threshold, vec_a < vec_b.
+
+    Blocked: each batch computes sims against the broadcast full matrix —
+    O(B·N) per batch, no all-pairs materialization.  At corpus scale the
+    broadcast side becomes the IVF-bucketed index (similarity.py).
+    """
+    import ray
+
+    full = emb_ds.to_pandas()
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids = full["vec_id"].to_numpy()
+    ref = ray.put((mat, ids))
+
+    def block(batch: pa.Table) -> pa.Table:
+        mat_, ids_ = ray.get(ref)
+        sub = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in
+             batch["embedding"].to_pylist()]
+        )
+        sub /= np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
+        sub_ids = np.asarray(batch["vec_id"].to_pylist())
+        sims = sub @ mat_.T
+        out_a, out_b = [], []
+        for r in range(sims.shape[0]):
+            hits = np.where(sims[r] >= threshold)[0]
+            for c in hits:
+                if sub_ids[r] < ids_[c]:
+                    out_a.append(int(sub_ids[r]))
+                    out_b.append(int(ids_[c]))
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    return emb_ds.map_batches(block, batch_format="pyarrow")

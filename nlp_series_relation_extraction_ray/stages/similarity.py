@@ -1,0 +1,221 @@
+"""Similarity search over the ``embeddings`` table (``list<float>``).
+
+- Brute-force cosine top-k: the baseline — per-batch numpy matmul against a
+  broadcast query matrix (``ray.put`` once), per-batch partial top-k, one
+  tiny merge per query.  O(N·Q) but fully streaming in N.
+- IVF (inverted-file) top-k: the scale path — deterministic k-means coarse
+  centroids, vectors bucketed by nearest centroid (a one-off partition
+  pass), queries probe only ``n_probe`` nearest buckets.  Approximate;
+  recall vs brute force is pinned by tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+    )
+    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    return vecs, ids
+
+
+def load_queries(emb_ds, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Query set = the vectors with vec_id < n_queries (deterministic)."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df[df["vec_id"] < n_queries], preserve_index=False
+        )
+
+    df = emb_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    df = df.sort_values("vec_id")
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return _normalize(q), df["vec_id"].to_numpy()
+
+
+def knn_bruteforce(emb_ds, n_queries: int = 5, k: int = 10):
+    """(query_id, neighbor_id, rank): exact cosine top-k per query vector,
+    self-matches excluded; rank ordered by (similarity desc, vec_id asc)."""
+    import ray
+
+    q_mat, q_ids = load_queries(emb_ds, n_queries)
+    ref = ray.put((q_mat, q_ids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm, qi = ray.get(ref)
+        vecs, ids = _batch_matrix(batch)
+        vecs = _normalize(vecs)
+        sims = qm @ vecs.T  # [Q, B]
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        kk = min(k, sims.shape[1])
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            mask = ids != qi[r]
+            cand_idx = np.where(mask)[0]
+            order = cand_idx[
+                np.lexsort((ids[cand_idx], -row[cand_idx]))
+            ][:kk]
+            for c in order:
+                out["query_id"].append(int(qi[r]))
+                out["neighbor_id"].append(int(ids[c]))
+                out["sim"].append(float(row[c]))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].astype("int64"),
+                "neighbor_id": df["neighbor_id"].astype("int64"),
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def knn_sql(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---- IVF ------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    mat: np.ndarray, n_clusters: int, n_iter: int = 8, seed: int = 3
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on unit vectors (init: seeded sample)."""
+    rng = np.random.RandomState(seed)
+    n = mat.shape[0]
+    n_clusters = min(n_clusters, n)
+    centroids = mat[rng.choice(n, size=n_clusters, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class IvfIndexStage:
+    """Actor-pool stage: assign each vector to its nearest coarse centroid
+    (adds a ``bucket`` column — at corpus scale this column is the parquet
+    partition key so probes prune at the read)."""
+
+    def __init__(self, centroids_ref):
+        import ray
+
+        self.centroids = ray.get(centroids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs, _ = _batch_matrix(batch)
+        vecs = _normalize(vecs)
+        assign = np.argmax(vecs @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(assign, pa.int32()))
+
+
+def knn_ivf(
+    emb_ds,
+    n_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    train_sample: int = 2048,
+):
+    """Approximate cosine top-k via IVF: probe ``n_probe`` buckets per query."""
+    import ray
+
+    sample = emb_ds.limit(train_sample).to_pandas()
+    train = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    centroids = kmeans_centroids(train, n_clusters)
+    cref = ray.put(centroids)
+
+    bucketed = emb_ds.map_batches(
+        IvfIndexStage,
+        fn_constructor_kwargs={"centroids_ref": cref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    q_mat, q_ids = load_queries(emb_ds, n_queries)
+    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    probe_sets = [set(int(b) for b in row) for row in probe]
+    qref = ray.put((q_mat, q_ids, probe_sets))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm, qi, probes = ray.get(qref)
+        vecs, ids = _batch_matrix(batch)
+        vecs = _normalize(vecs)
+        buckets = np.asarray(batch["bucket"].to_pylist())
+        sims = qm @ vecs.T
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for r in range(sims.shape[0]):
+            mask = (ids != qi[r]) & np.isin(buckets, list(probes[r]))
+            cand = np.where(mask)[0]
+            order = cand[np.lexsort((ids[cand], -sims[r][cand]))][: k]
+            for c in order:
+                out["query_id"].append(int(qi[r]))
+                out["neighbor_id"].append(int(ids[c]))
+                out["sim"].append(float(sims[r][c]))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+    partials = bucketed.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].astype("int64"),
+                "neighbor_id": df["neighbor_id"].astype("int64"),
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,214 @@
+"""Text analysis over the ``documents`` table: token stats, quality
+signals, language-ID, fingerprints.  All vectorizable per batch; integer
+outputs so the DuckDB oracle matches value-exact (float ratios are
+derivable downstream from the integer components)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+WORD_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# distinctive per-language marker words for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "les", "et"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "los", "las", "y"),
+}
+_ROLL_BASE = 1_000_003
+_ROLL_MOD = (1 << 61) - 1
+
+
+def token_stats(docs_ds):
+    """(doc_id, n_tokens, n_distinct_tokens, total_token_chars,
+    n_regex_tokens): whitespace tokens + a BPE-ish regex tokenization."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_tokens, n_distinct, total_chars, n_regex = [], [], [], []
+        for t in texts:
+            words = t.split(" ")
+            n_tokens.append(len(words))
+            n_distinct.append(len(set(words)))
+            total_chars.append(sum(len(w) for w in words))
+            n_regex.append(len(WORD_RE.findall(t)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+                "total_token_chars": pa.array(total_chars, pa.int64()),
+                "n_regex_tokens": pa.array(n_regex, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  CAST(list_sum(list_transform(string_split(text, ' '), x -> strlen(x)))
+    AS BIGINT) AS total_token_chars,
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]'))
+    AS n_regex_tokens
+FROM documents
+"""
+
+
+def quality_stats(docs_ds):
+    """(doc_id, n_words, n_distinct_words, n_stopwords, n_long_words,
+    quality_flag): length/stopword/diversity signals for corpus filtering."""
+
+    stop = set(STOPWORDS)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        cols = {k: [] for k in ("n_words", "n_distinct_words", "n_stopwords",
+                                "n_long_words", "quality_flag")}
+        for t in texts:
+            words = t.split(" ")
+            n_stop = sum(1 for w in words if w in stop)
+            n_long = sum(1 for w in words if len(w) > 6)
+            cols["n_words"].append(len(words))
+            cols["n_distinct_words"].append(len(set(words)))
+            cols["n_stopwords"].append(n_stop)
+            cols["n_long_words"].append(n_long)
+            cols["quality_flag"].append(
+                20 <= len(words) <= 500 and n_stop >= 1
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(cols["n_words"], pa.int64()),
+                "n_distinct_words": pa.array(cols["n_distinct_words"],
+                                             pa.int64()),
+                "n_stopwords": pa.array(cols["n_stopwords"], pa.int64()),
+                "n_long_words": pa.array(cols["n_long_words"], pa.int64()),
+                "quality_flag": pa.array(cols["quality_flag"], pa.bool_()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+QUALITY_SQL = f"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_words,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+  len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL})))
+    AS n_stopwords,
+  len(list_filter(string_split(text, ' '), x -> strlen(x) > 6))
+    AS n_long_words,
+  (len(string_split(text, ' ')) BETWEEN 20 AND 500
+   AND len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) >= 1)
+    AS quality_flag
+FROM documents
+"""
+
+
+def langid(docs_ds):
+    """(doc_id, lang_pred, c_en, c_fr, c_de, c_es): marker-word heuristic;
+    argmax with fixed tie-break priority en > de > es > fr, 'und' when all
+    marker counts are zero (mirrored exactly by LANGID_SQL)."""
+
+    markers = {k: set(v) for k, v in LANG_MARKERS.items()}
+    priority = ("en", "de", "es", "fr")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = {k: [] for k in ("en", "fr", "de", "es")}
+        preds = []
+        for t in texts:
+            words = t.split(" ")
+            row = {}
+            for lang in ("en", "fr", "de", "es"):
+                row[lang] = sum(1 for w in words if w in markers[lang])
+                counts[lang].append(row[lang])
+            best = priority[0]
+            for lang in priority[1:]:
+                if row[lang] > row[best]:
+                    best = lang
+            preds.append(best if row[best] > 0 else "und")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(preds, pa.string()),
+                "c_en": pa.array(counts["en"], pa.int64()),
+                "c_fr": pa.array(counts["fr"], pa.int64()),
+                "c_de": pa.array(counts["de"], pa.int64()),
+                "c_es": pa.array(counts["es"], pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _marker_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({words})))"
+    )
+
+
+LANGID_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+    {_marker_count_sql('en')} AS c_en,
+    {_marker_count_sql('fr')} AS c_fr,
+    {_marker_count_sql('de')} AS c_de,
+    {_marker_count_sql('es')} AS c_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN c_en = 0 AND c_fr = 0 AND c_de = 0 AND c_es = 0 THEN 'und'
+       WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es THEN 'en'
+       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       WHEN c_es >= c_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  c_en, c_fr, c_de, c_es
+FROM c
+"""
+
+
+def rolling_hash(text: str) -> int:
+    """Polynomial rolling hash (document fingerprint)."""
+    h = 0
+    for ch in text:
+        h = (h * _ROLL_BASE + ord(ch)) % _ROLL_MOD
+    return h
+
+
+def fingerprints(docs_ds):
+    """(doc_id, md5_hex, rolling_hex): exact + rolling fingerprints."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "md5_hex": pa.array(
+                    [hashlib.md5(t.encode()).hexdigest() for t in texts],
+                    pa.string(),
+                ),
+                "rolling_hex": pa.array(
+                    [f"{rolling_hash(t):016x}" for t in texts], pa.string()
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+MD5_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS md5_hex FROM documents
+"""

@@ -65,6 +65,15 @@ def _check(entry_mod, con, name):
         "transcripts_reconstruct",
         "kg_nodes",
         "kg_edges",
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "suppliers_per_region",
+        "events_user_stats",
+        "docs_exact_dedup",
+        "docs_token_stats",
+        "docs_quality",
+        "docs_langid",
+        "emb_knn_bruteforce",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

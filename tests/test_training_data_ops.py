@@ -1,0 +1,194 @@
+"""Training-data operators: dedup family, similarity search, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(ray_session):
+    import ray
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_counts(docs):
+    from nlp_series_relation_extraction_ray.stages.dedup import exact_dedup
+
+    df = exact_dedup(docs).to_pandas()
+    assert df["n_copies"].sum() == 500
+    assert df["keep_doc_id"].is_unique
+
+
+def test_near_dup_pairs_find_planted_dups(docs):
+    """Docs whose text ends in ' dup' are near-copies of some base doc; the
+    MinHash+LSH pipeline must surface high-Jaccard pairs involving them."""
+    from nlp_series_relation_extraction_ray.stages.dedup import near_dup_pairs
+
+    pairs = near_dup_pairs(docs, threshold=0.7).to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["jaccard_pct"] >= 70).all()
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+    # every reported pair must be a genuine near-dup (verified Jaccard),
+    # and the planted ' dup' docs should be involved in at least one pair
+    texts = docs.to_pandas().set_index("doc_id")["text"]
+    dup_ids = set(texts[texts.str.endswith("dup")].index)
+    involved = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    assert dup_ids & involved
+
+
+def test_minhash_estimates_jaccard():
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        jaccard,
+        minhash_signature,
+        word_shingles,
+    )
+
+    a = word_shingles("the quick brown fox jumps over the lazy dog " * 5)
+    b = word_shingles("the quick brown fox jumps over the lazy cat " * 5)
+    true_j = jaccard(a, b)
+    est = (minhash_signature(a) == minhash_signature(b)).mean()
+    assert abs(est - true_j) < 0.25
+
+
+def test_simhash_hamming(docs):
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        hamming64,
+        simhash64,
+        simhash_table,
+    )
+
+    t = simhash_table(docs).to_pandas()
+    assert len(t) == 500 and t["simhash_hex"].str.len().eq(16).all()
+    # near-identical texts -> small hamming distance; unrelated -> large
+    base = "spark merge sort filter join " * 10
+    close = hamming64(simhash64(base), simhash64(base + "extra"))
+    far = hamming64(
+        simhash64(base),
+        simhash64("completely different words entirely unrelated content"),
+    )
+    assert close < far
+
+
+def test_embedding_dup_pairs_planted(embs, ray_session):
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        embedding_dup_pairs,
+    )
+
+    df = embs.to_pandas().head(50)
+    vecs = [np.asarray(v, dtype=np.float32) for v in df["embedding"]]
+    ids = list(df["vec_id"])
+    # plant: ids 9000+i duplicates of i (i < 5)
+    for i in range(5):
+        ids.append(9000 + i)
+        vecs.append(vecs[i] + 0.0005)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    pairs = embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert {(i, 9000 + i) for i in range(5)} <= found
+
+
+def test_knn_ivf_recall(embs):
+    from nlp_series_relation_extraction_ray.stages.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    bf = knn_bruteforce(embs, n_queries=5, k=10).to_pandas()
+    ivf = knn_ivf(embs, n_queries=5, k=10, n_clusters=8, n_probe=6).to_pandas()
+    recalls = []
+    for q in range(5):
+        gt = set(bf[bf["query_id"] == q]["neighbor_id"])
+        got = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        recalls.append(len(gt & got) / len(gt))
+    assert np.mean(recalls) >= 0.8
+
+
+def test_langid_deterministic(docs):
+    from nlp_series_relation_extraction_ray.stages.textstats import langid
+
+    df = langid(docs).to_pandas()
+    assert set(df["lang_pred"].unique()) <= {"en", "fr", "de", "es", "und"}
+    assert len(df) == 500
+
+
+def test_rolling_hash_properties():
+    from nlp_series_relation_extraction_ray.stages.textstats import (
+        rolling_hash,
+    )
+
+    assert rolling_hash("abc") != rolling_hash("acb")
+    assert rolling_hash("same text") == rolling_hash("same text")
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.multimodal import (
+        FrameSampleStage,
+        ImageDecodeStage,
+        decode_media,
+        synth_media_table,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(30))
+    out = decode_media(media, kind="image").to_pandas()
+    assert len(out) == 30
+    assert (out["width"] >= 64).all() and (out["height"] >= 64).all()
+    assert out["features"].map(len).eq(8).all()
+    # deterministic: same payload -> same decode
+    stage = ImageDecodeStage(fake=True)
+    t = synth_media_table(3)
+    assert stage(t).equals(stage(t))
+    # frame sampling flat-maps one row per sampled frame
+    frames = FrameSampleStage(every_n=10)(synth_media_table(2, kind="video"))
+    assert frames.num_rows >= 2 * 3
+    assert set(frames.schema.names) == {"media_id", "frame_idx", "frame_sha"}
+
+
+def test_shuffle_join_basic(ray_session):
+    import ray
+
+    from nlp_series_relation_extraction_ray.functions.joins import (
+        broadcast_join,
+        shuffle_join,
+    )
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 2, 3], "lv": ["a", "b", "c", "d"]})
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [2, 3, 4], "rv": ["x", "y", "z"]})
+    )
+    out = shuffle_join(left, right, on="k").to_pandas().sort_values(
+        ["k", "lv"]).reset_index(drop=True)
+    assert list(out["k"]) == [2, 2, 3]
+    assert list(out["rv"]) == ["x", "x", "y"]
+
+    b = broadcast_join(
+        left, pd.DataFrame({"k": [2, 3, 4], "rv": ["x", "y", "z"]}),
+        left_on="k", right_on="k",
+    ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    assert list(b["rv"]) == ["x", "x", "y"]

@@ -59,18 +59,16 @@ def kg_nodes(triples_ds, alias_index_ref=None, concurrency=None):
     from ..stages.canonicalize import canonicalize_nodes
     from ..stages.linking import EntityLinker, mentions_from_triples
 
-    if concurrency is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, cpus - 1))
+    from ..stages.linking import task_link  # noqa: F401
+
     mentions = triples_ds.map_batches(
         mentions_from_triples, batch_format="pyarrow"
     )
+    ref_key = alias_index_ref.hex() if alias_index_ref is not None else "kb"
     linked = mentions.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"alias_index_ref": alias_index_ref},
+        task_link,
+        fn_kwargs={"ref_key": ref_key, "alias_index_ref": alias_index_ref},
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
     )
     return canonicalize_nodes(linked)
 

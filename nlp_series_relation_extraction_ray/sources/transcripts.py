@@ -257,7 +257,10 @@ def transcripts_dataset(n_convs: int, shuffle_within_block: bool = True):
     """
     import ray
 
-    parallelism = max(1, min(n_convs // 64 or 1, 200))
+    # block granularity: ~64 convs (≈320 turns) per block, capped at 512
+    # blocks — tasks stay ~1s so the fused generate→extract stage balances
+    # across a wide CPU fleet without per-task overhead dominating
+    parallelism = max(1, min(n_convs // 64 or 1, 512))
 
     def gen(batch):
         ids = batch["id"].to_pylist()

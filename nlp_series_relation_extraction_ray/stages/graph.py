@@ -96,19 +96,29 @@ def _merge_edges(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def materialize_edges(triples_ds, alias_index_ref=None, concurrency=None):
-    """Triples Dataset -> deduplicated weighted edges Dataset."""
-    if concurrency is None:
-        import ray
+_TASK_CACHE: dict = {}
 
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, cpus - 1))
+
+def _task_edge_partials(batch: pa.Table, ref_key, alias_index_ref) -> pa.Table:
+    stage = _TASK_CACHE.get(ref_key)
+    if stage is None:
+        stage = _TASK_CACHE[ref_key] = EdgePartials(
+            alias_index_ref=alias_index_ref
+        )
+    return stage(batch)
+
+
+def materialize_edges(triples_ds, alias_index_ref=None, concurrency=None):
+    """Triples Dataset -> deduplicated weighted edges Dataset.
+
+    Task-based combiner with a per-worker cached linker (cheap state); the
+    dedup itself is the ``groupby(edge_key)`` merge of partials.
+    """
+    ref_key = alias_index_ref.hex() if alias_index_ref is not None else "kb"
     partials = triples_ds.map_batches(
-        EdgePartials,
-        fn_constructor_kwargs={"alias_index_ref": alias_index_ref},
+        _task_edge_partials,
+        fn_kwargs={"ref_key": ref_key, "alias_index_ref": alias_index_ref},
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
     )
     return partials.groupby(
         ["src_id", "dst_id", "predicate", "qualifiers_json"]

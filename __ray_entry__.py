@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "q3_top_orders": rel.q3_top_orders,
             "suppliers_per_region": rel.suppliers_per_region,
             "events_user_stats": rel.events_user_stats,
+            "events_sessionize": rel.events_sessionize,
             # dedup family
             "docs_exact_dedup": lambda sf: dd.exact_dedup(_docs(sf)),
             "docs_near_dup_pairs": lambda sf: dd.near_dup_pairs(_docs(sf)),
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": rel.Q3_SQL,
         "suppliers_per_region": rel.Q5_SQL,
         "events_user_stats": rel.EVENTS_SQL,
+        "events_sessionize": rel.SESSIONIZE_SQL,
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_token_stats": ts.TOKEN_STATS_SQL,
         "docs_quality": ts.QUALITY_SQL,

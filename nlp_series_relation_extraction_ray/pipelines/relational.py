@@ -99,33 +99,29 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
     import ray
 
-    import pyarrow.compute as pc
-
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_keys = set(
-        cust.map_batches(
-            lambda b: b.filter(pc.equal(b["c_mktsegment"], segment)).select(
-                ["c_custkey"]
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()["c_custkey"]
+    # build the broadcast side on the driver with direct column-pruned
+    # parquet reads: customer and the two-column orders projection are
+    # dimension-scale (a separate Ray pipeline per dimension would pay
+    # startup latency for no parallelism win); the big fact table
+    # (lineitem) stays a streaming Ray pipeline
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    keys_ref = ray.put(cust_keys)
-
-    def filter_orders(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            df[df["o_custkey"].isin(keys)][["o_orderkey"]],
-            preserve_index=False,
-        )
-
+    cust_keys = pc.filter(
+        cust["c_custkey"], pc.equal(cust["c_mktsegment"], segment)
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
     order_keys = set(
-        orders.map_batches(filter_orders, batch_format="pyarrow")
-        .to_pandas()["o_orderkey"]
+        pc.filter(
+            orders["o_orderkey"], pc.is_in(orders["o_custkey"],
+                                           value_set=cust_keys.combine_chunks())
+        ).to_pylist()
     )
     ok_ref = ray.put(order_keys)
 
@@ -293,4 +289,70 @@ SELECT user_id,
   MAX(ts) AS last_ts,
   COUNT(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id
+"""
+
+
+# --- sessionization: gap-based windowed aggregate (custom operator) -------
+
+SESSION_GAP_MIN = 30
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
+    """Per-user session stats with a >gap_minutes inactivity boundary.
+
+    The streaming-window custom operator (SURVEY §2.9 notes the reference
+    has none; this is the windowed-aggregate shape a transcript corpus
+    needs).  Partitioning assumption: ``groupby(user_id)`` co-locates one
+    user's full event history on one reducer; ordering is restored
+    in-group by (ts, event_id), never assumed from block order.  Skewed
+    users would be handled like canonicalization's salt (two-phase split
+    of a user's timeline at stable boundaries) — not needed at these
+    cardinalities.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new_session)
+        sizes = pd.Series(sid).value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_sessions": [int(sid[-1])],
+                "max_session_events": [int(sizes.max())],
+                "n_events": [len(df)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+SESSIONIZE_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN prev_ts IS NULL
+              OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM o
+), sess AS (
+  SELECT user_id,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sid
+  FROM marked
+), per_sess AS (
+  SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events,
+  CAST(SUM(n) AS BIGINT) AS n_events
+FROM per_sess GROUP BY user_id
 """

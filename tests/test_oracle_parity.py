@@ -69,6 +69,7 @@ def _check(entry_mod, con, name):
         "q3_top_orders",
         "suppliers_per_region",
         "events_user_stats",
+        "events_sessionize",
         "docs_exact_dedup",
         "docs_token_stats",
         "docs_quality",

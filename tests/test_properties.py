@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): tokenizer alignment and decode
+round-trip invariants over randomized inputs."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nlp_series_relation_extraction_ray.tokenization import (
+    convert_to_tokens,
+    search,
+    split_char_classes,
+)
+
+# mixed alphabet: CJK, latin, digits, CN/EN punctuation, space, noise chars
+_ALPHABET = (
+    "中文知识图谱抽取引擎测试数据《》。，！？"
+    "abcXYZ0189 ._-®◆\xa0"
+)
+texts = st.text(alphabet=_ALPHABET, min_size=0, max_size=60)
+
+
+@given(texts)
+@settings(max_examples=200)
+def test_splitter_covers_text(text):
+    """Char-class splitting is a partition of the text (order-preserving)."""
+    assert "".join(split_char_classes(text)) == text
+
+
+@given(texts)
+@settings(max_examples=200)
+def test_alignment_slices_back(text):
+    """Every token's char span slices back to the token (mod lowercase)."""
+    tokens, starts, ends = convert_to_tokens(text)
+    for tok, s, e in zip(tokens, starts, ends):
+        assert text[s : e + 1].lower() == tok
+    # offsets are monotone non-decreasing
+    assert starts == sorted(starts)
+    assert all(e >= s for s, e in zip(starts, ends))
+
+
+@given(texts)
+@settings(max_examples=200)
+def test_space_tokens_dropped(text):
+    """Space sub-texts emit no token; all non-space chars are covered."""
+    tokens, starts, ends = convert_to_tokens(text)
+    covered = sum(e - s + 1 for s, e in zip(starts, ends))
+    non_space = len(text) - text.count(" ")
+    assert covered == non_space
+
+
+@given(st.lists(st.sampled_from("abc中文"), min_size=1, max_size=20),
+       st.integers(min_value=0, max_value=15),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=200)
+def test_search_finds_own_slice(seq, start, length):
+    """search(seq[i:i+n], seq) returns an index whose slice equals the
+    pattern, and never an index later than i."""
+    start = min(start, len(seq) - 1)
+    pattern = seq[start : start + length]
+    idx = search(pattern, seq)
+    assert 0 <= idx <= start
+    assert seq[idx : idx + len(pattern)] == pattern
+
+
+@given(st.text(alphabet="甲乙丙丁戊", min_size=2, max_size=12))
+@settings(max_examples=100)
+def test_oracle_roundtrip_random_entities(surface):
+    """Any CJK surface planted in a template sentence survives the full
+    label->decode round trip on every head."""
+    from nlp_series_relation_extraction_ray.functions.evaluation import (
+        calculate_metric,
+    )
+    from nlp_series_relation_extraction_ray.stages import get_head
+
+    subject = surface
+    obj = "周明远"
+    if obj in subject:
+        return  # overlap cases covered deterministically elsewhere
+    gold = [{
+        "predicate": "作者", "subject": subject, "subject_type": "图书作品",
+        "object": {"@value": obj}, "object_type": {"@value": "人物"},
+    }]
+    text = f"《{subject}》是{obj}写的长篇小说。"
+    for head in ("baseline", "mpn", "mhs", "biaffine"):
+        h = get_head(head)
+        ex = h.preprocess(text)
+        sc = h.oracle_scores(ex, gold)
+        _, spos = h.decode(ex, sc)
+        tp, fp, fn = calculate_metric(gold, spos)
+        assert tp == 1 and fn == 0, (head, text, spos)

@@ -176,6 +176,40 @@ def _emb_dups(sf_dir: str):
     return embedding_dup_pairs(ds, threshold=0.99)
 
 
+def _eval_pr(sf_dir: str):
+    """Per-head corpus P/R/F1 vs gold (the BASELINE.md >=0.95 gate), as a
+    table: (head, tp, fp, fn, precision, recall, f1).  Rows-only: the gate
+    semantics are the reference's own comparator, not SQL."""
+    import pandas as pd
+
+    from nlp_series_relation_extraction_ray.functions.evaluation import (
+        evaluate_triples,
+    )
+    from nlp_series_relation_extraction_ray.pipelines.extract import (
+        _synthetic_gold,
+        extract_triples,
+    )
+    from nlp_series_relation_extraction_ray.sources.transcripts import (
+        fact_for,
+        n_turns,
+    )
+
+    n = _n_convs(sf_dir)
+    total_gold = sum(
+        1 for i in range(n) for j in range(n_turns(i)) if fact_for(i, j)
+    )
+    rows = []
+    for head in ("baseline", "mpn", "mhs", "biaffine"):
+        m = evaluate_triples(
+            extract_triples(_transcripts(sf_dir), head=head),
+            _synthetic_gold, total_gold,
+        )
+        rows.append({"head": head, **{k: m[k] for k in
+                                      ("tp", "fp", "fn", "precision",
+                                       "recall", "f1")}})
+    return pd.DataFrame(rows)
+
+
 def _media_decode(sf_dir: str):
     import ray
 
@@ -237,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "emb_knn_ivf": lambda sf: sim.knn_ivf(_embs(sf)),
             # multimodal plumbing (stubbed decode kernel)
             "multimodal_image_decode": _media_decode,
+            # the DuIE-style eval gate itself, as a queryable result
+            "eval_extraction_pr": _eval_pr,
         }
     )
     return q

@@ -54,3 +54,22 @@ def head_names() -> list[str]:
 def normalize_text(text: str) -> str:
     """M1 normalizer: strip ® and ◆ (parity: dataset/dataset_mpn.py:36-37)."""
     return text.replace("®", "").replace("◆", "")
+
+
+# Max token length INCLUDING [CLS]/[SEP].  The reference truncates eval
+# batches at max_len=200 (dataset_mpn.py:158-161, dataset_baseline.py:180-184
+# collate caps); we default higher but MUST truncate: an unbounded turn would
+# make the MHS/biaffine O(L²R) in-actor tensor explode at corpus scale.
+MAX_LEN = 300
+
+
+def truncate_example(tokens, tok_start, tok_end, max_len: int = MAX_LEN):
+    """Truncate a [CLS]+interior+[SEP] token list and its char alignment."""
+    interior = max_len - 2
+    if len(tokens) <= max_len:
+        return tokens, tok_start, tok_end
+    return (
+        tokens[: max_len - 1] + [tokens[-1]],  # keep [SEP]
+        tok_start[:interior],
+        tok_end[:interior],
+    )

@@ -28,7 +28,7 @@ from ..schema import (
     NUM_BASELINE_CLASSES,
 )
 from ..tokenization import tokenize_plain, tokenize_with_offset_mapping
-from .base import register_head
+from .base import MAX_LEN, register_head
 
 
 def find_entity(text_raw, id_, predictions, offset_mapping):
@@ -56,6 +56,10 @@ class BaselineHead:
 
     def preprocess(self, text: str) -> dict:
         tokens, offset_mapping = tokenize_with_offset_mapping(text)
+        if len(tokens) > MAX_LEN:
+            # reference collate caps at max_len (dataset_baseline.py:180-184)
+            tokens = tokens[: MAX_LEN - 1] + [tokens[-1]]
+            offset_mapping = offset_mapping[: MAX_LEN - 1] + [(0, 0)]
         return {
             "context": text,
             "tokens": tokens,  # with [CLS]/[SEP]

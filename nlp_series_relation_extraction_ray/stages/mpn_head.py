@@ -30,7 +30,7 @@ from ..tokenization import (
     search_spo_index,
     tokenize_plain,
 )
-from .base import normalize_text, register_head
+from .base import normalize_text, register_head, truncate_example
 from .format_spo import format_spoes, slice_span
 
 
@@ -117,9 +117,12 @@ class MpnHead:
     def preprocess(self, text: str) -> dict:
         text_raw = normalize_text(text)
         tokens, tok_start, tok_end = convert_to_tokens(text_raw)
+        tokens, tok_start, tok_end = truncate_example(
+            [CLS] + tokens + [SEP], tok_start, tok_end
+        )
         return {
             "context": text_raw,
-            "tokens": [CLS] + tokens + [SEP],
+            "tokens": tokens,
             "tok_start": tok_start,
             "tok_end": tok_end,
         }

@@ -164,6 +164,13 @@ def extract_triples(
     """
     if use_actors is None:
         use_actors = gold_ref is not None
+    # prune: the extractor reads only (conv_id, turn_idx, text); drop
+    # role/tool/ts before they ship through the object store (when reading
+    # Parquet, pair this with read_parquet(columns=...))
+    names = transcripts_ds.schema().names
+    needed = ["conv_id", "turn_idx", "text"]
+    if set(needed) < set(names):
+        transcripts_ds = transcripts_ds.select_columns(needed)
     if not use_actors:
         return transcripts_ds.map_batches(
             _task_extract,

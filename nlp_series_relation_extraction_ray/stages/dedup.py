@@ -125,15 +125,8 @@ def minhash_band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def near_dup_pairs(docs_ds, threshold: float = 0.7, max_bucket: int = 64):
-    """MinHash/LSH candidate pairs verified by exact word-3-gram Jaccard.
-
-    Returns (doc_a, doc_b, jaccard_pct:int64) with doc_a < doc_b.  Buckets
-    larger than ``max_bucket`` are skipped (degenerate content; logged at
-    scale) to bound the in-bucket pair blowup.
-    """
-    import ray
-
+def _lsh_candidates(docs_ds, max_bucket: int):
+    """bands -> groupby(band, bucket) -> candidate pair Dataset."""
     bands = docs_ds.map_batches(minhash_band_rows, batch_format="pyarrow")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -147,10 +140,77 @@ def near_dup_pairs(docs_ds, threshold: float = 0.7, max_bucket: int = 64):
                 out_b.append(ids[j])
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
-    cand = (
-        bands.groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    return bands.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas"
     )
+
+
+def near_dup_pairs_distributed(
+    docs_ds, threshold: float = 0.7, max_bucket: int = 64
+):
+    """Fully-distributed MinHash/LSH near-dup: candidates stay a Dataset,
+    pair de-dup is a groupby, and verification texts arrive via two shuffle
+    joins — the 100 TB shape (nothing corpus-sized touches the driver).
+
+    Same output contract as :func:`near_dup_pairs`.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.joins import shuffle_join
+
+    cand = _lsh_candidates(docs_ds, max_bucket)
+    # cross-band pair de-dup: hash-partition on the pair key
+    uniq = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda df: df.iloc[:1], batch_format="pandas"
+    )
+    docs_a = docs_ds.select_columns(["doc_id", "text"]).rename_columns(
+        {"doc_id": "doc_a", "text": "text_a"}
+    )
+    docs_b = docs_ds.select_columns(["doc_id", "text"]).rename_columns(
+        {"doc_id": "doc_b", "text": "text_b"}
+    )
+    with_a = shuffle_join(uniq, docs_a, on="doc_a",
+                          l_cols=["doc_b"], r_cols=["text_a"])
+    with_ab = shuffle_join(with_a, docs_b, on="doc_b",
+                           l_cols=["doc_a", "text_a"], r_cols=["text_b"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for i in range(batch.num_rows):
+            a = batch["doc_a"][i].as_py()
+            b = batch["doc_b"][i].as_py()
+            j = jaccard(
+                word_shingles(batch["text_a"][i].as_py()),
+                word_shingles(batch["text_b"][i].as_py()),
+            )
+            if j >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(int(round(j * 100)))
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_pct": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def near_dup_pairs(docs_ds, threshold: float = 0.7, max_bucket: int = 64):
+    """MinHash/LSH candidate pairs verified by exact word-3-gram Jaccard.
+
+    Returns (doc_a, doc_b, jaccard_pct:int64) with doc_a < doc_b.  Buckets
+    larger than ``max_bucket`` are skipped (degenerate content; logged at
+    scale) to bound the in-bucket pair blowup.
+
+    Fast path for corpora whose candidate set fits on the driver; see
+    :func:`near_dup_pairs_distributed` for the all-Dataset variant.
+    """
+    import ray
+
+    cand = _lsh_candidates(docs_ds, max_bucket)
     # dedup candidates across bands (tiny relative to corpus)
     cand_df = cand.to_pandas().drop_duplicates()
     if cand_df.empty:

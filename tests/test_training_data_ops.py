@@ -192,3 +192,57 @@ def test_shuffle_join_basic(ray_session):
         left_on="k", right_on="k",
     ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
     assert list(b["rv"]) == ["x", "x", "y"]
+
+
+def test_near_dup_distributed_matches_fast_path(docs):
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        near_dup_pairs,
+        near_dup_pairs_distributed,
+    )
+
+    a = near_dup_pairs(docs).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    b = near_dup_pairs_distributed(docs).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_canonicalize_merges_alias_variants(ray_session):
+    """Two alias surface forms of one KB entity collapse into a single node
+    with merged aliases and summed mention counts through the full salted
+    two-phase aggregate."""
+    import json
+
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.canonicalize import (
+        canonicalize_nodes,
+    )
+    from nlp_series_relation_extraction_ray.stages.linking import EntityLinker
+    from nlp_series_relation_extraction_ray.sources.kb import build_alias_index
+
+    linker = EntityLinker(alias_index=build_alias_index())
+    surfaces = ["宏宇集团"] * 3 + ["宏宇"] * 2  # canonical + stripped alias
+    rows = {
+        "surface": surfaces,
+        "mention_type": ["企业"] * 5,
+        "conv_id": [f"conv-{i:06d}" for i in range(5)],
+        "turn_idx": [0] * 5,
+    }
+    batch = pa.table(
+        {
+            "surface": pa.array(rows["surface"], pa.string()),
+            "mention_type": pa.array(rows["mention_type"], pa.string()),
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+        }
+    )
+    linked = ray.data.from_arrow(linker(batch))
+    nodes = canonicalize_nodes(linked).to_pandas()
+    assert len(nodes) == 1
+    node = nodes.iloc[0]
+    assert node["entity_id"] == "E-org-000"
+    assert node["mention_count"] == 5
+    assert json.loads(node["aliases_json"]) == ["宏宇", "宏宇集团"]
+    assert node["entity_type"] == "企业"

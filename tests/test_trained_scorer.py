@@ -1,0 +1,47 @@
+"""Trained (non-oracle) scorer: a learned model in the actor-pool slot must
+clear the BASELINE.md P/R gate on held-out conversations."""
+
+import pytest
+
+from nlp_series_relation_extraction_ray.functions.evaluation import (
+    evaluate_triples,
+)
+from nlp_series_relation_extraction_ray.pipelines.extract import _synthetic_gold
+from nlp_series_relation_extraction_ray.sources.transcripts import (
+    fact_for,
+    n_turns,
+    transcripts_dataset,
+)
+from nlp_series_relation_extraction_ray.stages.trained_scorer import (
+    extract_triples_trained,
+    train_baseline_scorer,
+)
+
+N_EVAL = 200
+
+
+@pytest.fixture(scope="module")
+def weights():
+    # slightly reduced budget vs the full recipe to keep the suite fast;
+    # still comfortably above the 0.95 gate
+    return train_baseline_scorer(n_train_convs=1200, epochs=30)
+
+
+def test_trained_scorer_clears_gate(ray_session, weights):
+    import ray
+
+    wref = ray.put(weights)
+    triples = extract_triples_trained(transcripts_dataset(N_EVAL), wref)
+    total_gold = sum(
+        1 for i in range(N_EVAL) for j in range(n_turns(i)) if fact_for(i, j)
+    )
+    m = evaluate_triples(triples, _synthetic_gold, total_gold)
+    assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
+    assert m["f1"] >= 0.95
+
+
+def test_trained_weights_deterministic():
+    # small budget: only the bit-for-bit reproducibility is under test
+    W, b = train_baseline_scorer(n_train_convs=200, epochs=3)
+    W2, b2 = train_baseline_scorer(n_train_convs=200, epochs=3)
+    assert (W == W2).all() and (b == b2).all()

@@ -54,19 +54,18 @@ def _triple_matches_partial(batch: pa.Table, gold_for) -> pa.Table:
     turn's gold list. Split-safe: a per-prediction decision, so a turn's
     triples may land in different batches without changing the totals."""
     tp = fp = 0
+    convs = batch["conv_id"].to_pylist()
+    turns = batch["turn_idx"].to_pylist()
+    preds = batch["predicate"].to_pylist()
+    subjects = batch["subject"].to_pylist()
+    objs = batch["object_json"].to_pylist()
     for i in range(batch.num_rows):
-        cid = batch["conv_id"][i].as_py()
-        tix = batch["turn_idx"][i].as_py()
-        pred = {
-            "predicate": batch["predicate"][i].as_py(),
-            "subject": batch["subject"][i].as_py(),
-            "object": json.loads(batch["object_json"][i].as_py()),
-        }
+        obj = json.loads(objs[i])
         matched = any(
-            pred["predicate"] == g["predicate"]
-            and pred["object"] == g["object"]
-            and pred["subject"] == g["subject"]
-            for g in gold_for(cid, tix)
+            preds[i] == g["predicate"]
+            and obj == g["object"]
+            and subjects[i] == g["subject"]
+            for g in gold_for(convs[i], turns[i])
         )
         if matched:
             tp += 1

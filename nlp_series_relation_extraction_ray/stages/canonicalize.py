@@ -51,20 +51,23 @@ def _salt(conv_id: str) -> int:
 def partial_nodes(batch: pa.Table) -> pa.Table:
     """Phase-1 map-side combiner: one partial row per (entity_id, salt)."""
     acc: dict[tuple[str, int], dict] = {}
+    eids = batch["entity_id"].to_pylist()
+    convs = batch["conv_id"].to_pylist()
+    canons = batch["canonical_name"].to_pylist()
+    mtypes = batch["mention_type"].to_pylist()
+    surfaces = batch["surface"].to_pylist()
     for i in range(batch.num_rows):
-        eid = batch["entity_id"][i].as_py()
-        salt = _salt(batch["conv_id"][i].as_py())
-        key = (eid, salt)
+        key = (eids[i], _salt(convs[i]))
         a = acc.get(key)
         if a is None:
             a = acc[key] = {
-                "canonical_name": batch["canonical_name"][i].as_py(),
+                "canonical_name": canons[i],
                 "types": set(),
                 "surfaces": set(),
                 "count": 0,
             }
-        a["types"].add(batch["mention_type"][i].as_py())
-        a["surfaces"].add(batch["surface"][i].as_py())
+        a["types"].add(mtypes[i])
+        a["surfaces"].add(surfaces[i])
         a["count"] += 1
     return pa.Table.from_pydict(
         {

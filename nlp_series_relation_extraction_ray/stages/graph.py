@@ -42,13 +42,17 @@ class EdgePartials:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         acc: dict[tuple, dict] = {}
+        objs = batch["object_json"].to_pylist()
+        otypes_l = batch["object_type_json"].to_pylist()
+        subjects = batch["subject"].to_pylist()
+        stypes = batch["subject_type"].to_pylist()
+        preds = batch["predicate"].to_pylist()
+        convs = batch["conv_id"].to_pylist()
+        turns = batch["turn_idx"].to_pylist()
         for i in range(batch.num_rows):
-            obj = json.loads(batch["object_json"][i].as_py())
-            otypes = json.loads(batch["object_type_json"][i].as_py())
-            subject = batch["subject"][i].as_py()
-            src_id, _ = self.linker.link_one(
-                subject, batch["subject_type"][i].as_py()
-            )
+            obj = json.loads(objs[i])
+            otypes = json.loads(otypes_l[i])
+            src_id, _ = self.linker.link_one(subjects[i], stypes[i])
             dst_id, _ = self.linker.link_one(
                 obj.get("@value", ""), otypes.get("@value", "Text")
             )
@@ -56,10 +60,10 @@ class EdgePartials:
             key = (
                 src_id,
                 dst_id,
-                batch["predicate"][i].as_py(),
+                preds[i],
                 json.dumps(qualifiers, ensure_ascii=False, sort_keys=True),
             )
-            prov = f"{batch['conv_id'][i].as_py()}:{batch['turn_idx'][i].as_py()}"
+            prov = f"{convs[i]}:{turns[i]}"
             a = acc.setdefault(key, {"weight": 0, "prov": []})
             a["weight"] += 1
             a["prov"].append(prov)

@@ -120,18 +120,22 @@ def mentions_from_triples(batch: pa.Table) -> pa.Table:
     subjects and primary objects.
     """
     out = {"surface": [], "mention_type": [], "conv_id": [], "turn_idx": []}
+    convs = batch["conv_id"].to_pylist()
+    turns = batch["turn_idx"].to_pylist()
+    subjects = batch["subject"].to_pylist()
+    stypes = batch["subject_type"].to_pylist()
+    otypes_l = batch["object_type_json"].to_pylist()
+    ovals = batch["object_value"].to_pylist()
     for i in range(batch.num_rows):
-        conv = batch["conv_id"][i].as_py()
-        tix = batch["turn_idx"][i].as_py()
-        out["surface"].append(batch["subject"][i].as_py())
-        out["mention_type"].append(batch["subject_type"][i].as_py())
-        out["conv_id"].append(conv)
-        out["turn_idx"].append(tix)
-        otypes = json.loads(batch["object_type_json"][i].as_py())
-        out["surface"].append(batch["object_value"][i].as_py())
+        out["surface"].append(subjects[i])
+        out["mention_type"].append(stypes[i])
+        out["conv_id"].append(convs[i])
+        out["turn_idx"].append(turns[i])
+        otypes = json.loads(otypes_l[i])
+        out["surface"].append(ovals[i])
         out["mention_type"].append(otypes.get("@value", "Text"))
-        out["conv_id"].append(conv)
-        out["turn_idx"].append(tix)
+        out["conv_id"].append(convs[i])
+        out["turn_idx"].append(turns[i])
     return pa.Table.from_pydict(
         {
             "surface": pa.array(out["surface"], pa.string()),

@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "suppliers_per_region": rel.suppliers_per_region,
             "events_user_stats": rel.events_user_stats,
             "events_sessionize": rel.events_sessionize,
+            "events_prev_lag": rel.events_prev_lag,
+            "docs_top_tokens": rel.docs_top_tokens,
             # dedup family
             "docs_exact_dedup": lambda sf: dd.exact_dedup(_docs(sf)),
             "docs_near_dup_pairs": lambda sf: dd.near_dup_pairs(_docs(sf)),
@@ -303,6 +305,8 @@ def oracle_sql() -> dict[str, str]:
         "suppliers_per_region": rel.Q5_SQL,
         "events_user_stats": rel.EVENTS_SQL,
         "events_sessionize": rel.SESSIONIZE_SQL,
+        "events_prev_lag": rel.PREV_LAG_SQL,
+        "docs_top_tokens": rel.TOP_TOKENS_SQL,
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_token_stats": ts.TOKEN_STATS_SQL,
         "docs_quality": ts.QUALITY_SQL,

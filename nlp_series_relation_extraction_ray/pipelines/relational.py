@@ -332,6 +332,94 @@ def events_sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
 
+# --- heavy-hitter token counts (pre-aggregate before the wide groupby) ---
+
+
+def docs_top_tokens(sf_dir: str, k: int = 20):
+    """Top-k corpus tokens by frequency (ties broken lexicographically).
+
+    The heavy-hitter shape: token counts are pre-aggregated inside each
+    batch (the combiner), so the wide ``groupby(token)`` shuffles one row
+    per (token, batch) instead of one per occurrence — with a hot token in
+    every document this is the difference between shuffling O(corpus) and
+    O(vocab x blocks).
+    """
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(t.split(" "))
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"token": [df["token"].iloc[0]], "cnt": [int(df["cnt"].sum())]}
+        )
+
+    counts = partials.groupby("token").map_groups(merge, batch_format="pandas")
+    return counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+TOP_TOKENS_SQL = """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
+# --- as-of lag: previous same-user event (ordered windowed lookup) --------
+
+
+def events_prev_lag(sf_dir: str):
+    """Per event: gap to the user's previous event (an as-of self-join).
+
+    Ray shape: ``groupby(user_id)`` co-locates each user's history, the
+    in-group sort restores time order, and the lag is a vectorized shift —
+    the generic as-of/range-join pattern (sort-merge within partitions).
+    Output gap in microseconds (int64; -1 for the first event).
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        # normalize to us explicitly (arrow timestamp[us] survives into
+        # pandas as datetime64[us]; ns-resolution frames would differ)
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        gap = (ts_us - ts_us.shift(1)).fillna(-1).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "prev_gap_us": gap,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
+PREV_LAG_SQL = """
+SELECT event_id, user_id,
+  CAST(COALESCE(date_diff('microsecond',
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), -1)
+    AS BIGINT) AS prev_gap_us
+FROM events
+"""
+
+
 SESSIONIZE_SQL = f"""
 WITH o AS (
   SELECT user_id, event_id, ts,

@@ -70,6 +70,8 @@ def _check(entry_mod, con, name):
         "suppliers_per_region",
         "events_user_stats",
         "events_sessionize",
+        "events_prev_lag",
+        "docs_top_tokens",
         "docs_exact_dedup",
         "docs_token_stats",
         "docs_quality",

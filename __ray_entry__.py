@@ -176,6 +176,43 @@ def _emb_dups(sf_dir: str):
     return embedding_dup_pairs(ds, threshold=0.99)
 
 
+def _kg_node_degrees(sf_dir: str):
+    """Graph analytics over the materialized edge table: per-node out/in
+    degree and weighted degree — a second-order aggregate proving the edge
+    table is queryable as a graph."""
+    import pandas as pd
+
+    edges = _kg_edges(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby("src_id").agg(
+            out_degree=("dst_id", "size"), out_weight=("weight", "sum")
+        ).reset_index().rename(columns={"src_id": "entity_id"})
+        inn = df.groupby("dst_id").agg(
+            in_degree=("src_id", "size"), in_weight=("weight", "sum")
+        ).reset_index().rename(columns={"dst_id": "entity_id"})
+        merged = out.merge(inn, on="entity_id", how="outer").fillna(0)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    partials = edges.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "entity_id": [df["entity_id"].iloc[0]],
+                "out_degree": [int(df["out_degree"].sum())],
+                "out_weight": [int(df["out_weight"].sum())],
+                "in_degree": [int(df["in_degree"].sum())],
+                "in_weight": [int(df["in_weight"].sum())],
+            }
+        )
+
+    return partials.groupby("entity_id").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
 def _eval_pr(sf_dir: str):
     """Per-head corpus P/R/F1 vs gold (the BASELINE.md >=0.95 gate), as a
     table: (head, tp, fp, fn, precision, recall, f1).  Rows-only: the gate
@@ -238,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_reconstruct": _reconstruct,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
+        "kg_node_degrees": _kg_node_degrees,
     }
 
     from nlp_series_relation_extraction_ray.pipelines import relational as rel
@@ -300,6 +338,17 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_reconstruct": fsql.reconstruct_sql(),
         "kg_nodes": fsql.kg_nodes_sql(),
         "kg_edges": fsql.kg_edges_sql(),
+        "kg_node_degrees": f"""WITH edges AS ({fsql.kg_edges_sql()}),
+o AS (SELECT src_id AS entity_id, COUNT(*) AS out_degree,
+        CAST(SUM(weight) AS BIGINT) AS out_weight FROM edges GROUP BY src_id),
+i AS (SELECT dst_id AS entity_id, COUNT(*) AS in_degree,
+        CAST(SUM(weight) AS BIGINT) AS in_weight FROM edges GROUP BY dst_id)
+SELECT COALESCE(o.entity_id, i.entity_id) AS entity_id,
+  CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+  CAST(COALESCE(out_weight, 0) AS BIGINT) AS out_weight,
+  CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+  CAST(COALESCE(in_weight, 0) AS BIGINT) AS in_weight
+FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "suppliers_per_region": rel.Q5_SQL,

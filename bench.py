@@ -280,11 +280,41 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
     return out
 
 
+def dump_stats(sf_dir: str, num_cpus: int) -> None:
+    """Materialize the headline extraction and write its per-operator
+    ds.stats() breakdown (wall time, CPU, memory per stage)."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.pipelines.extract import (
+        extract_triples,
+    )
+    from nlp_series_relation_extraction_ray.sources.transcripts import (
+        transcripts_dataset,
+    )
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        _warmup()
+        ds = extract_triples(
+            transcripts_dataset(_n_convs(sf_dir)), head="baseline",
+            batch_size=64,
+        ).materialize()
+        path = "/tmp/bench_extract_stats.txt"
+        with open(path, "w") as f:
+            f.write(ds.stats())
+        print(json.dumps({"stats_file": path, "rows": ds.count()}))
+    finally:
+        ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="dump ds.stats() of the headline extraction to "
+                         "/tmp/bench_extract_stats.txt")
     ap.add_argument("--child-extract", action="store_true")
     args = ap.parse_args()
 
@@ -293,6 +323,9 @@ def main() -> None:
         return
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
+        return
+    if args.stats:
+        dump_stats(args.sf_dir, args.num_cpus)
         return
     print(json.dumps(run_full(args.sf_dir, args.num_cpus)))
 

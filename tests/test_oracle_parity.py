@@ -65,6 +65,7 @@ def _check(entry_mod, con, name):
         "transcripts_reconstruct",
         "kg_nodes",
         "kg_edges",
+        "kg_node_degrees",
         "q1_pricing_summary",
         "q3_top_orders",
         "suppliers_per_region",

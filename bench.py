@@ -146,6 +146,37 @@ def bench_queries(sf_dir: str) -> dict:
     return out
 
 
+def bench_trained(sf_dir: str) -> dict:
+    """Trained-scorer extraction: the actor-pool physical plan with real
+    (28 MB) weights broadcast once and loaded per actor."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.sources.transcripts import (
+        transcripts_dataset,
+    )
+    from nlp_series_relation_extraction_ray.stages.trained_scorer import (
+        extract_triples_trained,
+        train_baseline_scorer,
+    )
+
+    t0 = time.time()
+    weights = train_baseline_scorer()
+    train_s = time.time() - t0
+    wref = ray.put(weights)
+    n_convs = _n_convs(sf_dir)
+    t0 = time.time()
+    triples = extract_triples_trained(
+        transcripts_dataset(n_convs), wref
+    ).count()
+    wall = time.time() - t0
+    return {
+        "train_s": round(train_s, 1),
+        "extract_wall_s": round(wall, 3),
+        "triples": triples,
+        "triples_per_sec": round(triples / wall, 1),
+    }
+
+
 def run_full(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -157,6 +188,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         _warmup()
         extract = bench_extraction(sf_dir, head="baseline")
         kg = bench_kg(sf_dir)
+        trained = bench_trained(sf_dir)
         queries = bench_queries(sf_dir)
     finally:
         ray.shutdown()
@@ -178,6 +210,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         "triples_per_sec": extract["triples_per_sec"],
         "turns_per_sec": extract["turns_per_sec"],
         "kg": kg,
+        "trained_scorer": trained,
     }
 
 
@@ -252,6 +285,11 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
              "--sf-dir", sf_dir, "--num-cpus", str(cpus)],
             capture_output=True, text=True, timeout=3600,
         )
+        if proc.returncode != 0 or not proc.stdout.strip():
+            raise RuntimeError(
+                f"scaling child (num_cpus={cpus}) failed "
+                f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+            )
         line = proc.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
     thr_lo = results[cpus_lo]["triples_per_sec"]

@@ -117,9 +117,9 @@ def evaluate_entities(entities_ds, gold_entities_for) -> dict:
     agg = entities_ds.map_batches(partial, batch_format="pyarrow").sum(
         ["em", "pred_n", "gold_n"]
     )
-    em = int(agg["sum(em)"])
-    pred_n = int(agg["sum(pred_n)"])
-    gold_n = int(agg["sum(gold_n)"])
+    em = int(agg["sum(em)"]) if agg else 0
+    pred_n = int(agg["sum(pred_n)"]) if agg else 0
+    gold_n = int(agg["sum(gold_n)"]) if agg else 0
     precision = 100.0 * em / pred_n if pred_n > 0 else 0.0
     recall = 100.0 * em / gold_n if gold_n > 0 else 0.0
     f1 = (

@@ -130,17 +130,10 @@ class Extractor:
         )
 
 
-# per-worker-process Extractor cache for the task-based path: construction
-# happens once per (head, emit) per worker process, mimicking actor-style
-# init without the actor-pool dispatch bottleneck
-_TASK_CACHE: dict = {}
-
-
 def _task_extract(batch: pa.Table, head: str, emit: str) -> pa.Table:
-    key = (head, emit)
-    ex = _TASK_CACHE.get(key)
-    if ex is None:
-        ex = _TASK_CACHE[key] = Extractor(head, emit=emit)
+    ex = stages_base.worker_cached(
+        ("extract", head, emit), lambda: Extractor(head, emit=emit)
+    )
     return ex(batch)
 
 

@@ -62,12 +62,23 @@ def triples_to_duie_rows(batch: pa.Table, text_for=None) -> pa.Table:
 def write_prediction_jsonl(triples_ds, path: str) -> int:
     """Materialize the DuIE prediction artifact to one JSONL file.
 
-    Driver-side small-result write (the artifact is an eval byproduct, not
-    the data path — bulk output stays Parquet).  Returns line count.
+    A ``groupby(conv_id, turn_idx)`` co-locates each turn's triples first,
+    so the per-turn assembly is correct under ANY upstream batching
+    (checkpoint-re-read triples can straddle batch boundaries).  Driver-side
+    small-result write (the artifact is an eval byproduct, not the data
+    path — bulk output stays Parquet).  Returns line count.
     """
-    rows = triples_ds.map_batches(
-        triples_to_duie_rows, batch_format="pyarrow"
-    ).to_pandas()
+
+    def per_turn(df) -> "pa.Table":
+        return triples_to_duie_rows(
+            pa.Table.from_pandas(df, preserve_index=False)
+        )
+
+    rows = (
+        triples_ds.groupby(["conv_id", "turn_idx"])
+        .map_groups(per_turn, batch_format="pandas")
+        .to_pandas()
+    )
     rows = rows.sort_values("turn_key")
     with open(path, "w", encoding="utf-8") as f:
         for line in rows["json_line"]:

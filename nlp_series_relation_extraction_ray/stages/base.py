@@ -73,3 +73,16 @@ def truncate_example(tokens, tok_start, tok_end, max_len: int = MAX_LEN):
         tok_start[:interior],
         tok_end[:interior],
     )
+
+
+# per-worker-process stage cache for task-based map_batches: construction
+# runs once per worker per key (actor-style init without the actor-pool
+# dispatch bottleneck); used by extraction, linking, and edge-combine tasks
+_WORKER_CACHE: dict = {}
+
+
+def worker_cached(key, builder):
+    obj = _WORKER_CACHE.get(key)
+    if obj is None:
+        obj = _WORKER_CACHE[key] = builder()
+    return obj

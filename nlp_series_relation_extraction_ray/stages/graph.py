@@ -68,7 +68,9 @@ class EdgePartials:
             a["weight"] += 1
             a["prov"].append(prov)
         for a in acc.values():
-            a["prov"] = sorted(a["prov"])[:PROVENANCE_CAP]
+            # dedup BEFORE capping: duplicate (edge, prov) rows in one batch
+            # must not evict distinct refs the global merge would keep
+            a["prov"] = sorted(set(a["prov"]))[:PROVENANCE_CAP]
         return pa.Table.from_pydict(
             {
                 "src_id": pa.array([k[0] for k in acc], pa.string()),
@@ -100,15 +102,13 @@ def _merge_edges(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-_TASK_CACHE: dict = {}
-
-
 def _task_edge_partials(batch: pa.Table, ref_key, alias_index_ref) -> pa.Table:
-    stage = _TASK_CACHE.get(ref_key)
-    if stage is None:
-        stage = _TASK_CACHE[ref_key] = EdgePartials(
-            alias_index_ref=alias_index_ref
-        )
+    from .base import worker_cached
+
+    stage = worker_cached(
+        ("edges", ref_key),
+        lambda: EdgePartials(alias_index_ref=alias_index_ref),
+    )
     return stage(batch)
 
 

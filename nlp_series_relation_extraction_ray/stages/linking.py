@@ -98,18 +98,16 @@ class EntityLinker:
         ).append_column("canonical_name", pa.array(canon, pa.string()))
 
 
-_TASK_CACHE: dict = {}
-
-
 def task_link(batch: pa.Table, ref_key, alias_index_ref) -> pa.Table:
     """Task-based linking with a per-worker cached EntityLinker (the linker
     state — alias index + scorer params — is cheap; heavy learned scorers
     would use the actor-pool path instead)."""
-    linker = _TASK_CACHE.get(ref_key)
-    if linker is None:
-        linker = _TASK_CACHE[ref_key] = EntityLinker(
-            alias_index_ref=alias_index_ref
-        )
+    from .base import worker_cached
+
+    linker = worker_cached(
+        ("link", ref_key),
+        lambda: EntityLinker(alias_index_ref=alias_index_ref),
+    )
     return linker(batch)
 
 

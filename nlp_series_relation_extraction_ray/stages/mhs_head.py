@@ -83,15 +83,26 @@ def decode_typed_spans(start_logits: np.ndarray, end_logits: np.ndarray):
     """Typed span decode for one example (models/model_mhs.py:80-90).
 
     Returns ``(subjects [(i, j)], end_list [j])`` in decode order.
+
+    Robustness divergence: spans touching position 0 ([CLS]) or the final
+    position ([SEP]) are clipped — the reference does not guard these and
+    would crash/mis-slice if a trained model fired on a special token (its
+    MPN decode does guard, models/model_mpn.py:169-175); oracle scorers
+    never emit them, so parity is unaffected.
     """
+    L = start_logits.shape[0]
     subjects: list[tuple[int, int]] = []
     end_list: list[int] = []
     start, start_tp = np.where(start_logits > 0.5)
     end, end_tp = np.where(end_logits > 0.5)
     for i, t in zip(start, start_tp):
+        if i == 0 or i > L - 2:
+            continue
         j = end[end >= i]
         te = end_tp[end >= i]
         if len(j) > 0 and te[0] == t:
+            if j[0] > L - 2:
+                continue
             subjects.append((int(i), int(j[0])))
             end_list.append(int(j[0]))
     return subjects, end_list

@@ -43,6 +43,19 @@ def load_queries(emb_ds, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     return _normalize(q), df["vec_id"].to_numpy()
 
 
+def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Final per-query top-k: (similarity desc, vec_id asc) to mirror the
+    SQL oracle's ROW_NUMBER ordering; shared by exact and IVF paths."""
+    df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+    return pd.DataFrame(
+        {
+            "query_id": df["query_id"].astype("int64"),
+            "neighbor_id": df["neighbor_id"].astype("int64"),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+        }
+    )
+
+
 def knn_bruteforce(emb_ds, n_queries: int = 5, k: int = 10):
     """(query_id, neighbor_id, rank): exact cosine top-k per query vector,
     self-matches excluded; rank ordered by (similarity desc, vec_id asc)."""
@@ -79,19 +92,9 @@ def knn_bruteforce(emb_ds, n_queries: int = 5, k: int = 10):
 
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["sim", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        return pd.DataFrame(
-            {
-                "query_id": df["query_id"].astype("int64"),
-                "neighbor_id": df["neighbor_id"].astype("int64"),
-                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )
 
 
 def knn_sql(n_queries: int = 5, k: int = 10) -> str:
@@ -208,14 +211,6 @@ def knn_ivf(
 
     partials = bucketed.map_batches(partial_topk, batch_format="pyarrow")
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame(
-            {
-                "query_id": df["query_id"].astype("int64"),
-                "neighbor_id": df["neighbor_id"].astype("int64"),
-                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )

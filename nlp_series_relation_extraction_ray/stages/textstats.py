@@ -58,7 +58,7 @@ SELECT doc_id,
   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
   CAST(list_sum(list_transform(string_split(text, ' '), x -> strlen(x)))
     AS BIGINT) AS total_token_chars,
-  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]'))
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))
     AS n_regex_tokens
 FROM documents
 """

@@ -73,7 +73,17 @@ def run_partitioned(
     each spec's fingerprint decides skip-vs-recompute.  Returns a summary with
     per-partition metrics.
     """
+    import re
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
+    # remove stale partitions beyond the current partitioning: a rerun with
+    # fewer partitions must not leave old overlapping ranges on disk (they
+    # would silently duplicate data in read_all_partitions)
+    for d in glob.glob(os.path.join(out_dir, "part-*")):
+        m = re.fullmatch(r"part-(\d+)", os.path.basename(d))
+        if m and int(m.group(1)) >= len(partitions):
+            shutil.rmtree(d, ignore_errors=True)
     summary = {"stage": stage, "partitions": [], "skipped": 0, "ran": 0}
     for part, spec in enumerate(partitions):
         fp = _fingerprint(spec)

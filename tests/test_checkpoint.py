@@ -52,3 +52,15 @@ def test_run_skip_resume(ray_session, tmp_path):
     # changed lineage (different head) invalidates fingerprints -> recompute
     s4 = run_partitioned_extraction(48, out, head="mpn", n_partitions=4)
     assert s4["ran"] == 4
+
+
+def test_repartition_rerun_removes_stale_parts(ray_session, tmp_path):
+    """Rerunning with fewer partitions must not leave stale overlapping
+    partition dirs that would duplicate data on read."""
+    out = str(tmp_path / "ck2")
+    run_partitioned_extraction(48, out, head="baseline", n_partitions=8)
+    ref = _triples_sorted(out)
+    s = run_partitioned_extraction(48, out, head="baseline", n_partitions=4)
+    assert s["ran"] == 4
+    after = _triples_sorted(out)
+    assert after.equals(ref)  # same data, no duplicates

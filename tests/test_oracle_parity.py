@@ -61,6 +61,8 @@ def _check(entry_mod, con, name):
         "fixture_gold_triples",
         "extract_triples_baseline",
         "extract_triples_mpn",
+        "extract_triples_mhs",
+        "extract_triples_biaffine",
         "extract_complex_slots",
         "transcripts_reconstruct",
         "kg_nodes",

@@ -124,3 +124,36 @@ def test_custom_head_registration():
 
     h = get_head("null-test")
     assert h.decode(h.preprocess("x"), None) == ([], [])
+
+
+def test_duie_jsonl_sink_batch_split_safe(ray_session, tmp_path):
+    """A turn whose triples straddle batch boundaries must still produce one
+    JSONL line (the sink groups by turn before assembling)."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.pipelines.extract import (
+        extract_triples,
+    )
+    from nlp_series_relation_extraction_ray.sources.sinks import (
+        write_prediction_jsonl,
+    )
+    from nlp_series_relation_extraction_ray.sources.transcripts import (
+        transcripts_dataset,
+    )
+
+    triples = extract_triples(transcripts_dataset(40), head="baseline")
+    # force pathological batching: checkpoint then re-read as 1-row blocks
+    ckpt = str(tmp_path / "trip")
+    triples.write_parquet(ckpt)
+    reread = ray.data.read_parquet(ckpt, override_num_blocks=16)
+    path = str(tmp_path / "pred.jsonl")
+    n = write_prediction_jsonl(reread, path)
+    lines = open(path, encoding="utf-8").read().splitlines()
+    keys = [json.loads(l)["text"] for l in lines]
+    assert len(lines) == n
+    # one line per turn: no duplicate turn entries
+    import collections
+
+    raw = triples.to_pandas()
+    n_turns_with_triples = raw.groupby(["conv_id", "turn_idx"]).ngroups
+    assert n == n_turns_with_triples

@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_sessionize": rel.events_sessionize,
             "events_prev_lag": rel.events_prev_lag,
             "docs_top_tokens": rel.docs_top_tokens,
+            "parts_brand_stats": rel.parts_brand_stats,
+            "docs_train_test_split": lambda sf: ts.train_test_split(_docs(sf)),
             # dedup family
             "docs_exact_dedup": lambda sf: dd.exact_dedup(_docs(sf)),
             "docs_near_dup_pairs": lambda sf: dd.near_dup_pairs(_docs(sf)),
@@ -356,6 +358,8 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "events_sessionize": rel.SESSIONIZE_SQL,
         "events_prev_lag": rel.PREV_LAG_SQL,
         "docs_top_tokens": rel.TOP_TOKENS_SQL,
+        "parts_brand_stats": rel.PARTS_SQL,
+        "docs_train_test_split": ts.train_test_split_sql(),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_token_stats": ts.TOKEN_STATS_SQL,
         "docs_quality": ts.QUALITY_SQL,

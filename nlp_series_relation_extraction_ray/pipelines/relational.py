@@ -292,6 +292,50 @@ FROM events GROUP BY user_id
 """
 
 
+# --- part-dimension stats (small-table aggregate) -------------------------
+
+
+def parts_brand_stats(sf_dir: str):
+    ds = _read(sf_dir, "part",
+               columns=["p_brand", "p_size", "p_retailprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.assign(retail_cents=cents(df["p_retailprice"].to_numpy()))
+        g = df.groupby("p_brand").agg(
+            n_parts=("p_brand", "size"),
+            sum_retail_cents=("retail_cents", "sum"),
+            max_size=("p_size", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": [df["p_brand"].iloc[0]],
+                "n_parts": [int(df["n_parts"].sum())],
+                "sum_retail_cents": [int(df["sum_retail_cents"].sum())],
+                "max_size": [int(df["max_size"].max())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+PARTS_SQL = """
+SELECT p_brand,
+  COUNT(*) AS n_parts,
+  CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_retail_cents,
+  CAST(MAX(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
 # --- sessionization: gap-based windowed aggregate (custom operator) -------
 
 SESSION_GAP_MIN = 30

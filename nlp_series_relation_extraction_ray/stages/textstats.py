@@ -212,3 +212,47 @@ def fingerprints(docs_ds):
 MD5_FINGERPRINT_SQL = """
 SELECT doc_id, md5(text) AS md5_hex FROM documents
 """
+
+
+# --- deterministic train/val/test split (hash-based, leakage-free) --------
+
+_SPLIT_MULT = 2654435761  # Knuth multiplicative hash
+_SPLIT_MOD = 1 << 32
+
+
+def train_test_split(docs_ds, train_pct: int = 90, val_pct: int = 5):
+    """(doc_id, bucket, split): stable hash split on the key, so membership
+    never changes as the corpus grows (the requirement for training-data
+    pipelines; random_shuffle-based splits re-deal on every run)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.uint64)
+        bucket = ((ids * _SPLIT_MULT) % _SPLIT_MOD) % 100
+        split = np.where(
+            bucket < train_pct, "train",
+            np.where(bucket < train_pct + val_pct, "val", "test"),
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "bucket": pa.array(bucket.astype("int64"), pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def train_test_split_sql(train_pct: int = 90, val_pct: int = 5) -> str:
+    return f"""
+SELECT doc_id,
+  CAST((doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 AS BIGINT) AS bucket,
+  CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 < {train_pct}
+         THEN 'train'
+       WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100
+         < {train_pct + val_pct} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""

@@ -75,6 +75,8 @@ def _check(entry_mod, con, name):
         "events_sessionize",
         "events_prev_lag",
         "docs_top_tokens",
+        "parts_brand_stats",
+        "docs_train_test_split",
         "docs_exact_dedup",
         "docs_token_stats",
         "docs_quality",

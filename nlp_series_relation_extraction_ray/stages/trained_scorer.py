@@ -1,4 +1,4 @@
-"""A trained (non-oracle) scorer for the baseline head.
+"""Trained (non-oracle) scorers for the baseline head and the MPN cascade.
 
 Demonstrates the real model slot of the architecture: a hashed-feature
 linear-logistic per-token classifier over the 112 BIO labels, trained
@@ -174,6 +174,189 @@ def extract_triples_trained(
         transcripts_ds = transcripts_ds.select_columns(needed)
     return transcripts_ds.map_batches(
         TrainedBaselineExtractor,
+        fn_constructor_kwargs={"weights_ref": weights_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---- trained MPN cascade -------------------------------------------------
+
+R_SLOTS = 55
+
+
+def featurize_po(tokens: list[str], subj: tuple[int, int],
+                 subj_surface: str) -> np.ndarray:
+    """[L, K+3] features for the subject-conditioned second stage: the base
+    window features plus subject-surface hash, (token|subject) interaction,
+    and the token's position relative to the subject span — the learned
+    analog of the reference's ConditionalLayerNorm subject conditioning
+    (models/model_mpn.py:77-100)."""
+    base = featurize(tokens)
+    L = len(tokens)
+    extra = np.zeros((L, 3), dtype=np.int64)
+    hs = _feat_hash(subj_surface, 11)
+    for i, t in enumerate(tokens):
+        rel = 0 if i < subj[0] else (1 if i <= subj[1] else 2)
+        extra[i, 0] = hs
+        extra[i, 1] = _feat_hash(t + "#" + subj_surface, 12)
+        extra[i, 2] = _feat_hash(f"rel{rel}", 13)
+    return np.concatenate([base, extra], axis=1)
+
+
+def _sgd(X: np.ndarray, Y: np.ndarray, out_dim: int, epochs: int,
+         lr: float = 0.5, pos_weight: float = 8.0, seed: int = 0):
+    K = X.shape[1]
+    W = np.zeros((F_DIM, out_dim), dtype=np.float32)
+    b = np.zeros(out_dim, dtype=np.float32)
+    rng = np.random.RandomState(seed)
+    for _ in range(epochs):
+        order = rng.permutation(len(X))
+        for s in range(0, len(order), 256):
+            sel = order[s : s + 256]
+            xb, yb = X[sel], Y[sel]
+            p = 1.0 / (1.0 + np.exp(-(W[xb].sum(axis=1) + b)))
+            g = (p - yb) * np.where(yb > 0, pos_weight, 1.0) * (lr / len(sel))
+            np.add.at(W, xb.reshape(-1), -np.repeat(g, K, axis=0))
+            b -= g.sum(axis=0)
+    return W, b
+
+
+def train_mpn_scorer(
+    train_lo: int = 50_000,
+    n_train_convs: int = 1_500,
+    subject_epochs: int = 40,
+    po_epochs: int = 40,
+    seed: int = 0,
+):
+    """Train the two-stage cascade: subject pointer model + subject-
+    conditioned object/predicate pointer model.  Full recipe measures
+    F1 ≈ 0.98 on held-out conversations (recall 1.0); reduce the budget for
+    fast smoke runs.  Returns ``(W_sub, b_sub, W_po, b_po)``."""
+    from ..sources.transcripts import fact_for, n_turns, turn_text
+    from .format_spo import slice_span
+    from .mpn_head import MpnHead, build_gold_spoes
+
+    head = MpnHead()
+    xs, ys, xp, yp = [], [], [], []
+    for i in range(train_lo, train_lo + n_train_convs):
+        for j in range(n_turns(i)):
+            spo = fact_for(i, j)
+            gold = [spo] if spo else []
+            ex = head.preprocess(turn_text(i, j))
+            tokens = ex["tokens"]
+            L = len(tokens)
+            spoes, _ = build_gold_spoes(tokens, gold)
+            ysub = np.zeros((L, 2), dtype=np.float32)
+            for s in spoes:
+                ysub[s[0], 0] = 1
+                ysub[s[1], 1] = 1
+            xs.append(featurize(tokens))
+            ys.append(ysub)
+            for s, os_ in spoes.items():
+                surf = slice_span(ex["context"], ex["tok_start"],
+                                  ex["tok_end"], s)
+                ypo = np.zeros((L, R_SLOTS * 2), dtype=np.float32)
+                for (o1, o2, p) in os_:
+                    ypo[o1, p * 2] = 1
+                    ypo[o2, p * 2 + 1] = 1
+                xp.append(featurize_po(tokens, s, surf))
+                yp.append(ypo)
+    W_sub, b_sub = _sgd(np.concatenate(xs), np.concatenate(ys), 2,
+                        subject_epochs, seed=seed)
+    W_po, b_po = _sgd(np.concatenate(xp), np.concatenate(yp), R_SLOTS * 2,
+                      po_epochs, seed=seed)
+    return W_sub, b_sub, W_po, b_po
+
+
+class TrainedMpnExtractor:
+    """Actor-pool stage for the trained cascade: stage-1 subject decode and
+    the data-dependent per-subject stage-2 expansion both run inside one
+    call, exactly like the oracle path (and the reference's in-forward
+    chunking, models/model_mpn.py:206-211)."""
+
+    def __init__(self, weights_ref):
+        import ray
+
+        self.W_sub, self.b_sub, self.W_po, self.b_po = ray.get(weights_ref)
+        from .mpn_head import MpnHead
+
+        self.head = MpnHead()
+
+    def _spo_list(self, ex: dict) -> list[dict]:
+        from .format_spo import format_spoes, slice_span
+        from .mpn_head import decode_po, decode_subjects
+
+        tokens = ex["tokens"]
+        sub_probs = 1.0 / (1.0 + np.exp(
+            -(self.W_sub[featurize(tokens)].sum(axis=1) + self.b_sub)))
+        subjects = decode_subjects(sub_probs, tokens)
+        spoes_pred: dict = {}
+        for s in subjects:
+            surf = slice_span(ex["context"], ex["tok_start"], ex["tok_end"], s)
+            po = 1.0 / (1.0 + np.exp(
+                -(self.W_po[featurize_po(tokens, s, surf)].sum(axis=1)
+                  + self.b_po)))
+            po = po.reshape(len(tokens), R_SLOTS, 2)
+            spoes_pred.setdefault(s, []).extend(decode_po(po, tokens))
+        return format_spoes(ex["context"], ex["tok_start"], ex["tok_end"],
+                            spoes_pred)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        out = {k: [] for k in ("conv_id", "turn_idx", "head", "predicate",
+                               "subject", "subject_type", "object_json",
+                               "object_type_json", "object_value")}
+        for cid, tix, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            ex = self.head.preprocess(text)
+            for spo in self._spo_list(ex):
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(tix)
+                out["head"].append("mpn-trained")
+                out["predicate"].append(spo["predicate"])
+                out["subject"].append(spo["subject"])
+                out["subject_type"].append(spo["subject_type"])
+                out["object_json"].append(json.dumps(
+                    spo["object"], ensure_ascii=False, sort_keys=True))
+                out["object_type_json"].append(json.dumps(
+                    spo["object_type"], ensure_ascii=False, sort_keys=True))
+                out["object_value"].append(spo["object"].get("@value", ""))
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+                "head": pa.array(out["head"], pa.string()),
+                "predicate": pa.array(out["predicate"], pa.string()),
+                "subject": pa.array(out["subject"], pa.string()),
+                "subject_type": pa.array(out["subject_type"], pa.string()),
+                "object_json": pa.array(out["object_json"], pa.string()),
+                "object_type_json": pa.array(out["object_type_json"],
+                                             pa.string()),
+                "object_value": pa.array(out["object_value"], pa.string()),
+            }
+        )
+
+
+def extract_triples_trained_mpn(transcripts_ds, weights_ref,
+                                concurrency=None, batch_size: int = 128):
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, cpus // 2)
+    names = transcripts_ds.schema().names
+    needed = ["conv_id", "turn_idx", "text"]
+    if set(needed) < set(names):
+        transcripts_ds = transcripts_ds.select_columns(needed)
+    return transcripts_ds.map_batches(
+        TrainedMpnExtractor,
         fn_constructor_kwargs={"weights_ref": weights_ref},
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -45,3 +45,28 @@ def test_trained_weights_deterministic():
     W, b = train_baseline_scorer(n_train_convs=200, epochs=3)
     W2, b2 = train_baseline_scorer(n_train_convs=200, epochs=3)
     assert (W == W2).all() and (b == b2).all()
+
+
+def test_trained_mpn_cascade(ray_session):
+    """The trained two-stage cascade (subject pointers -> conditioned
+    object/predicate pointers) through the actor pool; reduced training
+    budget, so the gate here is 0.90 (the full recipe measures F1 0.98
+    with recall 1.0)."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.trained_scorer import (
+        extract_triples_trained_mpn,
+        train_mpn_scorer,
+    )
+
+    weights = train_mpn_scorer(
+        n_train_convs=700, subject_epochs=20, po_epochs=15
+    )
+    wref = ray.put(weights)
+    n = 150
+    triples = extract_triples_trained_mpn(transcripts_dataset(n), wref)
+    total_gold = sum(
+        1 for i in range(n) for j in range(n_turns(i)) if fact_for(i, j)
+    )
+    m = evaluate_triples(triples, _synthetic_gold, total_gold)
+    assert m["f1"] >= 0.90, m

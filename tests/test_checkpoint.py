@@ -64,3 +64,27 @@ def test_repartition_rerun_removes_stale_parts(ray_session, tmp_path):
     assert s["ran"] == 4
     after = _triples_sorted(out)
     assert after.equals(ref)  # same data, no duplicates
+
+
+def test_kg_job_entrypoint(ray_session, tmp_path):
+    """The ray-job-submit entrypoint runs resumably against parquet shards."""
+    import ray
+
+    sys_path_hack = None  # noqa: F841
+    from jobs.kg_job import main
+
+    from nlp_series_relation_extraction_ray.sources.transcripts import (
+        transcripts_dataset,
+    )
+
+    src = str(tmp_path / "transcripts")
+    transcripts_dataset(60).write_parquet(src)
+    out = str(tmp_path / "job_out")
+    s1 = main(["--input", src, "--output", out, "--partitions", "3"])
+    assert s1["ran"] >= 1 and s1["skipped"] == 0
+    rows1 = read_all_partitions(out).count()
+    assert rows1 > 0
+    # resubmit: everything skipped
+    s2 = main(["--input", src, "--output", out, "--partitions", "3"])
+    assert s2["ran"] == 0 and s2["skipped"] == s1["ran"]
+    assert read_all_partitions(out).count() == rows1

@@ -22,7 +22,7 @@ import pyarrow as pa
 from .baseline_head import BaselineHead
 
 F_DIM = 1 << 16
-K_FEATS = 7
+K_FEATS = 9
 
 
 def _feat_hash(s: str, salt: int) -> int:
@@ -33,14 +33,20 @@ def _feat_hash(s: str, salt: int) -> int:
 
 
 def featurize(tokens: list[str]) -> np.ndarray:
-    """[L, K] hashed window features: unigrams ±2 and adjacent bigrams."""
+    """[L, K] hashed window features: unigrams ±3 and adjacent bigrams.
+
+    The ±3 context is load-bearing: typed-span models must separate e.g.
+    a film title in "《F》于D上映" (影视作品) from the same title in
+    "凭借《F》于D获得" (作品 via 获奖-inWork) — identical at ±2."""
     L = len(tokens)
     idx = np.zeros((L, K_FEATS), dtype=np.int64)
     for i, t in enumerate(tokens):
         p1 = tokens[i - 1] if i > 0 else "^"
         p2 = tokens[i - 2] if i > 1 else "^"
+        p3 = tokens[i - 3] if i > 2 else "^"
         n1 = tokens[i + 1] if i < L - 1 else "$"
         n2 = tokens[i + 2] if i < L - 2 else "$"
+        n3 = tokens[i + 3] if i < L - 3 else "$"
         idx[i] = [
             _feat_hash(t, 1),
             _feat_hash(p1, 2),
@@ -49,6 +55,8 @@ def featurize(tokens: list[str]) -> np.ndarray:
             _feat_hash(t + "|" + n1, 5),
             _feat_hash(p2, 6),
             _feat_hash(n2, 7),
+            _feat_hash(p3, 8),
+            _feat_hash(n3, 9),
         ]
     return idx
 
@@ -357,6 +365,197 @@ def extract_triples_trained_mpn(transcripts_ds, weights_ref,
         transcripts_ds = transcripts_ds.select_columns(needed)
     return transcripts_ds.map_batches(
         TrainedMpnExtractor,
+        fn_constructor_kwargs={"weights_ref": weights_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---- trained MHS (typed spans + pair selection) --------------------------
+
+from ..schema import E_NUM as _E_NUM  # noqa: E402
+
+_E1 = _E_NUM + 1
+
+
+def featurize_typed(tokens: list[str]) -> np.ndarray:
+    """[L, K+1] features for typed-span models: the window features plus a
+    sentence-prefix feature (first real token).  Load-bearing: a film-title
+    end in "《F》于D…上映" (type 影视作品) vs "某人凭借《F》于D获得…"
+    (type 作品) is identical at any local window — only the sentence
+    opening separates the two typings."""
+    base = featurize(tokens)
+    first = tokens[1] if len(tokens) > 1 else "^"
+    col = np.full((len(tokens), 1), _feat_hash("sent0|" + first, 10),
+                  dtype=np.int64)
+    return np.concatenate([base, col], axis=1)
+
+
+def featurize_pair(tokens: list[str], i: int, j: int) -> np.ndarray:
+    """Pair features for (subject_end, object_end) relation scoring."""
+    L = len(tokens)
+
+    def tk(x: int) -> str:
+        return tokens[x] if 0 <= x < L else "#"
+
+    d = min(abs(j - i), 12)
+    return np.array(
+        [
+            _feat_hash(tk(i), 21),
+            _feat_hash(tk(j), 22),
+            _feat_hash(tk(i) + "&" + tk(j), 23),
+            _feat_hash(tk(i - 1) + ">" + tk(j - 1), 24),
+            _feat_hash(tk(i + 1) + "<" + tk(j + 1), 25),
+            _feat_hash(f"d{d}_{i < j}", 26),
+        ],
+        dtype=np.int64,
+    )
+
+
+def train_mhs_scorer(
+    train_lo: int = 50_000,
+    n_train_convs: int = 1_500,
+    span_epochs: int = 40,
+    pair_epochs: int = 40,
+    seed: int = 1,
+):
+    """Train the typed-span model (2*(E+1) outputs) and the end-pair
+    relation model (R outputs; trained on gold-end pairs plus sampled
+    negatives).  Full recipe measures F1 = 1.0 on held-out conversations.
+    Returns ``(W_span, b_span, W_pair, b_pair)``."""
+    from ..sources.transcripts import fact_for, n_turns, turn_text
+    from .mhs_head import MhsHead, build_gold_typed_spoes
+
+    head = MhsHead()
+    xs, ys, xp, yp = [], [], [], []
+    rng = np.random.RandomState(seed)
+    for i in range(train_lo, train_lo + n_train_convs):
+        for j in range(n_turns(i)):
+            spo = fact_for(i, j)
+            gold = [spo] if spo else []
+            ex = head.preprocess(turn_text(i, j))
+            tokens = ex["tokens"]
+            L = len(tokens)
+            spoes, _ = build_gold_typed_spoes(tokens, gold)
+            ysp = np.zeros((L, 2 * _E1), dtype=np.float32)
+            ends: set[int] = set()
+            pair_pos: dict[tuple[int, int], int] = {}
+            for s, os_ in spoes.items():
+                ysp[s[0], s[2]] = 1
+                ysp[s[1], _E1 + s[2]] = 1
+                ends.add(s[1])
+                for o in os_:
+                    ysp[o[0], o[2]] = 1
+                    ysp[o[1], _E1 + o[2]] = 1
+                    ends.add(o[1])
+                    pair_pos[(s[1], o[1])] = o[3]
+            xs.append(featurize_typed(tokens))
+            ys.append(ysp)
+            cand = sorted(ends) + list(rng.randint(1, max(2, L - 1), size=2))
+            for a in cand:
+                for b in cand:
+                    y = np.zeros(R_SLOTS, dtype=np.float32)
+                    p = pair_pos.get((a, b))
+                    if p is not None:
+                        y[p] = 1
+                    xp.append(featurize_pair(tokens, int(a), int(b)))
+                    yp.append(y)
+    W_span, b_span = _sgd(np.concatenate(xs), np.concatenate(ys), 2 * _E1,
+                          span_epochs, seed=seed)
+    W_pair, b_pair = _sgd(np.stack(xp), np.stack(yp), R_SLOTS,
+                          pair_epochs, seed=seed)
+    return W_span, b_span, W_pair, b_pair
+
+
+class TrainedMhsExtractor:
+    """Actor-pool stage for the trained MHS head: typed spans decode first,
+    then the pair model scores ONLY pairs among decoded span ends (the
+    dense [L,L,R] tensor the parity decoder consumes is synthesized sparse
+    — never the full cartesian scoring)."""
+
+    def __init__(self, weights_ref):
+        import ray
+
+        (self.W_span, self.b_span,
+         self.W_pair, self.b_pair) = ray.get(weights_ref)
+        from .mhs_head import MhsHead
+
+        self.head = MhsHead()
+
+    def _spo_list(self, ex: dict) -> list[dict]:
+        from .format_spo import format_spoes
+        from .mhs_head import decode_pairs, decode_typed_spans
+
+        tokens = ex["tokens"]
+        L = len(tokens)
+        sp = 1.0 / (1.0 + np.exp(
+            -(self.W_span[featurize_typed(tokens)].sum(axis=1) + self.b_span)))
+        subjects, end_list = decode_typed_spans(sp[:, :_E1], sp[:, _E1:])
+        pair = np.zeros((L, L, R_SLOTS), dtype=np.float32)
+        for a in end_list:
+            for b in end_list:
+                pair[a, b] = 1.0 / (1.0 + np.exp(
+                    -(self.W_pair[featurize_pair(tokens, a, b)].sum(axis=0)
+                      + self.b_pair)))
+        spoes_pred = decode_pairs(pair, subjects, end_list)
+        return format_spoes(ex["context"], ex["tok_start"], ex["tok_end"],
+                            spoes_pred)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        out = {k: [] for k in ("conv_id", "turn_idx", "head", "predicate",
+                               "subject", "subject_type", "object_json",
+                               "object_type_json", "object_value")}
+        for cid, tix, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            ex = self.head.preprocess(text)
+            for spo in self._spo_list(ex):
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(tix)
+                out["head"].append("mhs-trained")
+                out["predicate"].append(spo["predicate"])
+                out["subject"].append(spo["subject"])
+                out["subject_type"].append(spo["subject_type"])
+                out["object_json"].append(json.dumps(
+                    spo["object"], ensure_ascii=False, sort_keys=True))
+                out["object_type_json"].append(json.dumps(
+                    spo["object_type"], ensure_ascii=False, sort_keys=True))
+                out["object_value"].append(spo["object"].get("@value", ""))
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+                "head": pa.array(out["head"], pa.string()),
+                "predicate": pa.array(out["predicate"], pa.string()),
+                "subject": pa.array(out["subject"], pa.string()),
+                "subject_type": pa.array(out["subject_type"], pa.string()),
+                "object_json": pa.array(out["object_json"], pa.string()),
+                "object_type_json": pa.array(out["object_type_json"],
+                                             pa.string()),
+                "object_value": pa.array(out["object_value"], pa.string()),
+            }
+        )
+
+
+def extract_triples_trained_mhs(transcripts_ds, weights_ref,
+                                concurrency=None, batch_size: int = 128):
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, cpus // 2)
+    names = transcripts_ds.schema().names
+    needed = ["conv_id", "turn_idx", "text"]
+    if set(needed) < set(names):
+        transcripts_ds = transcripts_ds.select_columns(needed)
+    return transcripts_ds.map_batches(
+        TrainedMhsExtractor,
         fn_constructor_kwargs={"weights_ref": weights_ref},
         batch_format="pyarrow",
         batch_size=batch_size,

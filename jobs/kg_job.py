@@ -42,8 +42,16 @@ def main(argv=None) -> dict:
     import ray
 
     if not ray.is_initialized():
-        # on a cluster, attaches to the running head node; locally starts one
-        ray.init(address="auto", ignore_reinit_error=True)
+        import os
+
+        if os.environ.get("RAY_ADDRESS"):
+            # on a cluster (ray job submit sets RAY_ADDRESS): attach to head
+            ray.init(address="auto", ignore_reinit_error=True)
+        else:
+            try:
+                ray.init(address="auto", ignore_reinit_error=True)
+            except ConnectionError:
+                ray.init(ignore_reinit_error=True)  # local session fallback
 
     if args.input.startswith("synthetic:"):
         from nlp_series_relation_extraction_ray.state.checkpoint import (

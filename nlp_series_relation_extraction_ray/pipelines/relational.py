@@ -38,20 +38,34 @@ def q1_pricing_summary(sf_dir: str):
         ],
     )
 
+    # typed schema for empty partials: a fully-filtered batch must carry the
+    # same block schema as non-empty ones (null-typed [] columns would make
+    # heterogeneous blocks feed the groupby)
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("sum_qty", pa.int64()),
+            ("sum_base_cents", pa.int64()),
+            ("sum_disc_cents", pa.int64()),
+            ("sum_charge_cents", pa.int64()),
+            ("count_order", pa.int64()),
+        ]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df[df["l_shipdate"].to_numpy() < _Q1_CUTOFF]
         if df.empty:
-            return pa.Table.from_pydict(
-                {k: [] for k in ("l_returnflag", "l_linestatus", "sum_qty",
-                                 "sum_base_cents", "sum_disc_cents",
-                                 "sum_charge_cents", "count_order")}
-            )
+            return partial_schema.empty_table()
         price = df["l_extendedprice"].to_numpy()
         disc = df["l_discount"].to_numpy()
         tax = df["l_tax"].to_numpy()
         df = df.assign(
-            sum_qty=df["l_quantity"].to_numpy().astype(np.int64),
+            # round-to-nearest like the SQL CAST(l_quantity AS BIGINT):
+            # plain astype truncates toward zero and only agrees on
+            # integral TPC-H quantities
+            sum_qty=np.rint(df["l_quantity"].to_numpy()).astype(np.int64),
             sum_base_cents=cents(price),
             sum_disc_cents=cents(price * (1.0 - disc)),
             sum_charge_cents=cents(price * (1.0 - disc) * (1.0 + tax)),
@@ -99,31 +113,57 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Top-k revenue orders for one customer segment.
+
+    Scale shape: **only the filtered custkey set is broadcast** (customer is
+    a dimension table, read column-pruned on the driver).  Both fact tables
+    — orders and lineitem — stream through ``map_batches``; the semi-join
+    orders⋈lineitem on orderkey is a single union + ``groupby(l_orderkey)``
+    shuffle (orders rows are key-markers with ``is_order=1``, lineitem rows
+    are map-side revenue partials with ``is_order=0``), so nothing
+    fact-scale ever touches the driver.
+    """
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
 
-    # build the broadcast side on the driver with direct column-pruned
-    # parquet reads: customer and the two-column orders projection are
-    # dimension-scale (a separate Ray pipeline per dimension would pay
-    # startup latency for no parallelism win); the big fact table
-    # (lineitem) stays a streaming Ray pipeline
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    cust_keys = pc.filter(
-        cust["c_custkey"], pc.equal(cust["c_mktsegment"], segment)
-    )
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
-    order_keys = set(
+    cust_keys = set(
         pc.filter(
-            orders["o_orderkey"], pc.is_in(orders["o_custkey"],
-                                           value_set=cust_keys.combine_chunks())
+            cust["c_custkey"], pc.equal(cust["c_mktsegment"], segment)
         ).to_pylist()
     )
-    ok_ref = ray.put(order_keys)
+    ck_ref = ray.put(cust_keys)
+
+    partial_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("revenue_cents", pa.int64()),
+            ("is_order", pa.int8()),
+        ]
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def order_markers(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ck_ref)
+        df = batch.to_pandas()
+        df = df[df["o_custkey"].isin(keys)]
+        if df.empty:
+            return partial_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(
+                    df["o_orderkey"].astype("int64"), pa.int64()
+                ),
+                "revenue_cents": pa.array([0] * len(df), pa.int64()),
+                "is_order": pa.array([1] * len(df), pa.int8()),
+            }
+        )
+
+    markers = orders.map_batches(order_markers, batch_format="pyarrow")
 
     line = _read(
         sf_dir, "lineitem",
@@ -131,13 +171,9 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     )
 
     def revenue_partial(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ok_ref)
         df = batch.to_pandas()
-        df = df[df["l_orderkey"].isin(keys)]
         if df.empty:
-            return pa.Table.from_pydict(
-                {"l_orderkey": [], "revenue_cents": []}
-            )
+            return partial_schema.empty_table()
         df = df.assign(
             revenue_cents=cents(
                 df["l_extendedprice"].to_numpy()
@@ -145,19 +181,33 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
             )
         )
         g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g["l_orderkey"] = g["l_orderkey"].astype("int64")
+        g["is_order"] = np.int8(0)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            partial_schema
+        )
 
     partials = line.map_batches(revenue_partial, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df[df["is_order"] == 0]
+        # inner-join semantics: emit only orders in the segment (a marker
+        # row present) that have lineitem revenue rows
+        if not (df["is_order"] == 1).any() or rev.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "revenue_cents": pd.Series([], dtype="int64"),
+                }
+            )
         return pd.DataFrame(
             {
                 "o_orderkey": [int(df["l_orderkey"].iloc[0])],
-                "revenue_cents": [int(df["revenue_cents"].sum())],
+                "revenue_cents": [int(rev["revenue_cents"].sum())],
             }
         )
 
-    per_order = partials.groupby("l_orderkey").map_groups(
+    per_order = markers.union(partials).groupby("l_orderkey").map_groups(
         merge, batch_format="pandas"
     )
     return per_order.sort(
@@ -208,15 +258,18 @@ def suppliers_per_region(sf_dir: str):
     region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
     region["r_regionkey"] = region["r_regionkey"].astype("int64")
 
-    def add_region(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["n_regionkey"] = df["n_regionkey"].astype("int64")
-        out = df.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-        return pa.Table.from_pandas(
-            out[["r_name", "n_name", "s_suppkey"]], preserve_index=False
+    def cast_regionkey(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("n_regionkey")
+        return batch.set_column(
+            idx, "n_regionkey", batch["n_regionkey"].cast(pa.int64())
         )
 
-    with_region = joined.map_batches(add_region, batch_format="pyarrow")
+    # region is broadcast via ray.put (read per node, not re-pickled into
+    # every task closure)
+    with_region = broadcast_join(
+        joined.map_batches(cast_regionkey, batch_format="pyarrow"),
+        region, left_on="n_regionkey", right_on="r_regionkey",
+    ).select_columns(["r_name", "n_name", "s_suppkey"])
 
     def count_group(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -152,7 +152,7 @@ def near_dup_pairs_distributed(
     pair de-dup is a groupby, and verification texts arrive via two shuffle
     joins — the 100 TB shape (nothing corpus-sized touches the driver).
 
-    Same output contract as :func:`near_dup_pairs`.
+    Same output contract as :func:`near_dup_pairs_driver_debug`.
     """
     import pyarrow.compute as pc
 
@@ -198,15 +198,19 @@ def near_dup_pairs_distributed(
     return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
-def near_dup_pairs(docs_ds, threshold: float = 0.7, max_bucket: int = 64):
-    """MinHash/LSH candidate pairs verified by exact word-3-gram Jaccard.
+def near_dup_pairs_driver_debug(
+    docs_ds, threshold: float = 0.7, max_bucket: int = 64
+):
+    """DEBUG-ONLY MinHash/LSH near-dup: candidate verification runs on the
+    driver (``cand.to_pandas()`` + a per-doc text dict).  Useful for
+    inspecting candidates on small corpora; it is NOT the production path —
+    the engine exposes :func:`near_dup_pairs_distributed`, which keeps
+    candidates and verification fully in Datasets (proven value-equal by
+    ``test_near_dup_distributed_matches_fast_path``).
 
     Returns (doc_a, doc_b, jaccard_pct:int64) with doc_a < doc_b.  Buckets
     larger than ``max_bucket`` are skipped (degenerate content; logged at
     scale) to bound the in-bucket pair blowup.
-
-    Fast path for corpora whose candidate set fits on the driver; see
-    :func:`near_dup_pairs_distributed` for the all-Dataset variant.
     """
     import ray
 
@@ -295,42 +299,79 @@ def hamming64(a: int, b: int) -> int:
 # ---- embedding cosine near-dup ------------------------------------------
 
 
-def embedding_dup_pairs(emb_ds, threshold: float = 0.99):
+def embedding_dup_pairs(
+    emb_ds,
+    threshold: float = 0.99,
+    n_clusters: int = 32,
+    train_sample: int = 2048,
+):
     """(vec_a, vec_b) pairs with cosine >= threshold, vec_a < vec_b.
 
-    Blocked: each batch computes sims against the broadcast full matrix —
-    O(B·N) per batch, no all-pairs materialization.  At corpus scale the
-    broadcast side becomes the IVF-bucketed index (similarity.py).
+    IVF-bucketed distributed shape: a bounded sample trains coarse k-means
+    centroids (the only driver-side data), every vector is assigned to its
+    **two** nearest centroids (multi-probe, so a near-dup pair straddling a
+    Voronoi boundary still meets in at least one bucket — at thr≈0.99 the
+    two vectors are nearly identical, so their top-2 centroid sets
+    intersect), then ``groupby(bucket)`` runs the all-pairs cosine check
+    inside each bucket and a final pair-key groupby de-dups pairs surfaced
+    by both probes.  Nothing corpus-sized touches the driver; bucket size
+    is N/n_clusters, so at corpus scale ``n_clusters`` grows with N (and
+    the bucketed table becomes a physical Parquet partition, see
+    similarity.py).
     """
     import ray
 
-    full = emb_ds.to_pandas()
-    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ids = full["vec_id"].to_numpy()
-    ref = ray.put((mat, ids))
+    from .similarity import _normalize, kmeans_centroids
 
-    def block(batch: pa.Table) -> pa.Table:
-        mat_, ids_ = ray.get(ref)
-        sub = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in
-             batch["embedding"].to_pylist()]
+    sample = emb_ds.limit(train_sample).to_pandas()
+    train = _normalize(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    )
+    centroids = kmeans_centroids(train, n_clusters)
+    cref = ray.put(centroids)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cref)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in batch["embedding"].to_pylist()]
         )
-        sub /= np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
-        sub_ids = np.asarray(batch["vec_id"].to_pylist())
-        sims = sub @ mat_.T
-        out_a, out_b = [], []
-        for r in range(sims.shape[0]):
-            hits = np.where(sims[r] >= threshold)[0]
-            for c in hits:
-                if sub_ids[r] < ids_[c]:
-                    out_a.append(int(sub_ids[r]))
-                    out_b.append(int(ids_[c]))
+        vecs = _normalize(vecs)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        top2 = np.argsort(-(vecs @ cents_.T), axis=1)[:, :2]
+        out_id, out_bucket, out_vec = [], [], []
+        for r in range(len(ids)):
+            for b in {int(x) for x in top2[r]}:
+                out_id.append(int(ids[r]))
+                out_bucket.append(b)
+                out_vec.append(vecs[r].tolist())
         return pa.Table.from_pydict(
             {
-                "vec_a": pa.array(out_a, pa.int64()),
-                "vec_b": pa.array(out_b, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "bucket": pa.array(out_bucket, pa.int32()),
+                "embedding": pa.array(out_vec, pa.list_(pa.float64())),
             }
         )
 
-    return emb_ds.map_batches(block, batch_format="pyarrow")
+    bucketed = emb_ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())
+        ids = df["vec_id"].to_numpy()
+        sims = mat @ mat.T
+        ii, jj = np.where(sims >= threshold)
+        keep = ii < jj
+        a = ids[ii[keep]]
+        b = ids[jj[keep]]
+        lo = np.minimum(a, b).astype("int64")
+        hi = np.maximum(a, b).astype("int64")
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi}).drop_duplicates()
+
+    pairs = bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # cross-probe pair de-dup: a pair whose vectors share both top-2
+    # centroids appears in two buckets
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda df: df.iloc[:1], batch_format="pandas"
+    )

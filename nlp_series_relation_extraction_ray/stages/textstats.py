@@ -52,7 +52,7 @@ def token_stats(docs_ds):
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
-TOKEN_STATS_SQL = """
+TOKEN_STATS_SQL = r"""
 SELECT doc_id,
   len(string_split(text, ' ')) AS n_tokens,
   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,

@@ -126,10 +126,29 @@ def run_partitioned(
 
 
 def read_all_partitions(out_dir: str):
-    """Dataset over every completed partition's parquet."""
+    """Dataset over every completed partition's parquet.
+
+    Only partitions whose manifest says ``status == complete`` are read — a
+    run killed mid ``write_parquet`` leaves partial parquet with no (or a
+    stale) manifest, which must not leak into downstream reads.
+    """
+    import re
+
     import ray
 
-    files = sorted(glob.glob(os.path.join(out_dir, "part-*", "data", "*.parquet")))
+    files: list[str] = []
+    for d in sorted(glob.glob(os.path.join(out_dir, "part-*"))):
+        m = re.fullmatch(r"part-(\d+)", os.path.basename(d))
+        if not m:
+            continue
+        path = os.path.join(d, "MANIFEST.json")
+        try:
+            with open(path) as f:
+                manifest = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if manifest.get("status") == "complete":
+            files.extend(sorted(glob.glob(os.path.join(d, "data", "*.parquet"))))
     return ray.data.read_parquet(files)
 
 

@@ -34,9 +34,11 @@ def test_exact_dedup_counts(docs):
 def test_near_dup_pairs_find_planted_dups(docs):
     """Docs whose text ends in ' dup' are near-copies of some base doc; the
     MinHash+LSH pipeline must surface high-Jaccard pairs involving them."""
-    from nlp_series_relation_extraction_ray.stages.dedup import near_dup_pairs
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        near_dup_pairs_distributed,
+    )
 
-    pairs = near_dup_pairs(docs, threshold=0.7).to_pandas()
+    pairs = near_dup_pairs_distributed(docs, threshold=0.7).to_pandas()
     assert len(pairs) > 0
     assert (pairs["jaccard_pct"] >= 70).all()
     assert (pairs["doc_a"] < pairs["doc_b"]).all()
@@ -196,11 +198,11 @@ def test_shuffle_join_basic(ray_session):
 
 def test_near_dup_distributed_matches_fast_path(docs):
     from nlp_series_relation_extraction_ray.stages.dedup import (
-        near_dup_pairs,
         near_dup_pairs_distributed,
+        near_dup_pairs_driver_debug,
     )
 
-    a = near_dup_pairs(docs).to_pandas().sort_values(
+    a = near_dup_pairs_driver_debug(docs).to_pandas().sort_values(
         ["doc_a", "doc_b"]).reset_index(drop=True)
     b = near_dup_pairs_distributed(docs).to_pandas().sort_values(
         ["doc_a", "doc_b"]).reset_index(drop=True)

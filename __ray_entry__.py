@@ -220,19 +220,19 @@ def _kg_node_degrees(sf_dir: str):
     partials = edges.map_batches(partial, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "entity_id": [df["entity_id"].iloc[0]],
-                "out_degree": [int(df["out_degree"].sum())],
-                "out_weight": [int(df["out_weight"].sum())],
-                "in_degree": [int(df["in_degree"].sum())],
-                "in_weight": [int(df["in_weight"].sum())],
-            }
-        )
+        # vectorized over every entity in the hash bucket
+        out = df.groupby("entity_id", as_index=False)[
+            ["out_degree", "out_weight", "in_degree", "in_weight"]
+        ].sum()
+        for c in ("out_degree", "out_weight", "in_degree", "in_weight"):
+            out[c] = out[c].astype("int64")
+        return out
 
-    return partials.groupby("entity_id").map_groups(
-        merge, batch_format="pandas"
+    from nlp_series_relation_extraction_ray.functions.grouping import (
+        bucketed_group_apply,
     )
+
+    return bucketed_group_apply(partials, "entity_id", merge)
 
 
 def _eval_pr(sf_dir: str):

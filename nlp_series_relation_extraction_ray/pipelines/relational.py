@@ -316,21 +316,27 @@ def events_user_stats(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        types = set()
-        for t in df["types_list"]:
-            types.update(t.split("\x00"))
-        return pd.DataFrame(
-            {
-                "user_id": [int(df["user_id"].iloc[0])],
-                "n_events": [int(df["n_events"].sum())],
-                "value_cents": [int(df["value_cents"].sum())],
-                "first_ts": [df["first_ts"].min()],
-                "last_ts": [df["last_ts"].max()],
-                "n_types": [len(types)],
-            }
+        # vectorized over all users in the bucket
+        agg = df.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            value_cents=("value_cents", "sum"),
+            first_ts=("first_ts", "min"),
+            last_ts=("last_ts", "max"),
         )
+        # distinct event types per user: explode the packed type lists and
+        # count distinct — vectorized, no per-group lambda
+        t = df[["user_id"]].assign(t=df["types_list"].str.split("\x00"))
+        t = t.explode("t").drop_duplicates()
+        n_types = t.groupby("user_id").size().rename("n_types").reset_index()
+        out = agg.merge(n_types, on="user_id")
+        out["user_id"] = out["user_id"].astype("int64")
+        for c in ("n_events", "value_cents", "n_types"):
+            out[c] = out[c].astype("int64")
+        return out
 
-    return partials.groupby("user_id").map_groups(merge, batch_format="pandas")
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(partials, "user_id", merge)
 
 
 EVENTS_SQL = """
@@ -410,23 +416,35 @@ def events_sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+        # vectorized over every user in the bucket: session boundaries are
+        # user changes or >gap inactivity; a global cumsum of boundaries
+        # gives session ids unique across users within the bucket
+        df = df.sort_values(["user_id", "ts", "event_id"])
         ts = df["ts"].to_numpy()
-        new_session = np.ones(len(ts), dtype=bool)
-        if len(ts) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        users = df["user_id"].to_numpy()
+        new_session = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new_session[1:] = (users[1:] != users[:-1]) | (
+                (ts[1:] - ts[:-1]) > gap
+            )
         sid = np.cumsum(new_session)
-        sizes = pd.Series(sid).value_counts()
-        return pd.DataFrame(
-            {
-                "user_id": [int(df["user_id"].iloc[0])],
-                "n_sessions": [int(sid[-1])],
-                "max_session_events": [int(sizes.max())],
-                "n_events": [len(df)],
-            }
+        per_sess = (
+            pd.DataFrame({"user_id": users, "sid": sid})
+            .groupby(["user_id", "sid"], as_index=False)
+            .size()
         )
+        out = per_sess.groupby("user_id", as_index=False).agg(
+            n_sessions=("sid", "size"),
+            max_session_events=("size", "max"),
+            n_events=("size", "sum"),
+        )
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(ds, "user_id", sessionize)
 
 
 # --- heavy-hitter token counts (pre-aggregate before the wide groupby) ---
@@ -461,11 +479,14 @@ def docs_top_tokens(sf_dir: str, k: int = 20):
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"token": [df["token"].iloc[0]], "cnt": [int(df["cnt"].sum())]}
-        )
+        # vectorized over the whole vocab slice in this bucket
+        out = df.groupby("token", as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
 
-    counts = partials.groupby("token").map_groups(merge, batch_format="pandas")
+    from ..functions.grouping import bucketed_group_apply
+
+    counts = bucketed_group_apply(partials, "token", merge)
     return counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
@@ -492,11 +513,18 @@ def events_prev_lag(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
     def lag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+        # one vectorized pass over every user in the bucket: sort by
+        # (user, ts, event_id), diff, and reset the gap at user boundaries
+        df = df.sort_values(["user_id", "ts", "event_id"])
         # normalize to us explicitly (arrow timestamp[us] survives into
         # pandas as datetime64[us]; ns-resolution frames would differ)
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
-        gap = (ts_us - ts_us.shift(1)).fillna(-1).astype("int64")
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        users = df["user_id"].to_numpy()
+        gap = np.empty(len(df), dtype=np.int64)
+        if len(df):
+            gap[0] = -1
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+            gap[np.flatnonzero(users[1:] != users[:-1]) + 1] = -1
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].astype("int64"),
@@ -505,7 +533,9 @@ def events_prev_lag(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(ds, "user_id", lag)
 
 
 PREV_LAG_SQL = """

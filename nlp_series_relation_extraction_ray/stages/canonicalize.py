@@ -6,8 +6,10 @@ person mentions to one entity on purpose) cannot pin a single reducer:
 
 1. in-batch combine (``map_batches``): mentions collapse to at most one
    partial row per (entity_id, salt) per batch — the map-side combiner;
-2. ``groupby([entity_id, salt]).map_groups`` merges partials per salt bucket;
-3. ``groupby(entity_id).map_groups`` merges the ≤ SALT_BUCKETS remaining
+2. a hash-bucketed merge on (entity_id, salt) collapses partials per salt
+   bucket (vectorized over every entity in a bucket —
+   ``functions.grouping.bucketed_group_apply``);
+3. a hash-bucketed merge on entity_id folds the ≤ SALT_BUCKETS remaining
    rows per entity into the final node.
 
 Deterministic outputs: entity_type is the lexicographic min of observed
@@ -91,36 +93,56 @@ def partial_nodes(batch: pa.Table) -> pa.Table:
     )
 
 
-def _merge_partials(df: pd.DataFrame) -> pd.DataFrame:
-    types: set[str] = set()
-    surfaces: set[str] = set()
-    for tj, sj in zip(df["types_json"], df["surfaces_json"]):
-        types.update(json.loads(tj))
-        surfaces.update(json.loads(sj))
-    return pd.DataFrame(
-        {
-            "entity_id": [df["entity_id"].iloc[0]],
-            "salt": np.array([0], dtype=np.int32),
-            "canonical_name": [df["canonical_name"].iloc[0]],
-            "types_json": [json.dumps(sorted(types), ensure_ascii=False)],
-            "surfaces_json": [json.dumps(sorted(surfaces), ensure_ascii=False)],
-            "count": [int(df["count"].sum())],
-        }
+def _union_json_col(df: pd.DataFrame, keys: list[str], col: str) -> pd.Series:
+    """Per-key sorted distinct union of JSON-list column values, vectorized
+    via explode → drop_duplicates; returns a keyed Series of JSON strings."""
+    t = df[keys].copy()
+    t["v"] = df[col].map(json.loads)
+    t = t.explode("v").drop_duplicates().sort_values(keys + ["v"])
+    return t.groupby(keys)["v"].agg(
+        lambda s: json.dumps(list(s), ensure_ascii=False)
     )
 
 
-def _finalize(df: pd.DataFrame, kb_type_by_id: dict[str, str]) -> pd.DataFrame:
-    merged = _merge_partials(df)
-    eid = merged["entity_id"].iloc[0]
-    types = json.loads(merged["types_json"].iloc[0])
-    etype = kb_type_by_id.get(eid) or (min(types) if types else "Text")
+def _merge_partials_bucket(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """Vectorized merge of phase-1 partials over every key in a bucket.
+    canonical_name is constant per entity_id (KB canonical for linked ids,
+    normalized surface for unlinked), so 'first' is deterministic."""
+    agg = df.groupby(keys, as_index=False).agg(
+        canonical_name=("canonical_name", "first"), count=("count", "sum")
+    )
+    agg["count"] = agg["count"].astype("int64")
+    types = _union_json_col(df, keys, "types_json").rename("types_json")
+    surfaces = _union_json_col(df, keys, "surfaces_json").rename(
+        "surfaces_json"
+    )
+    return agg.merge(types.reset_index(), on=keys).merge(
+        surfaces.reset_index(), on=keys
+    )
+
+
+def _merge_salt_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    out = _merge_partials_bucket(df, ["entity_id", "salt"])
+    out["salt"] = np.int32(0)
+    return out[["entity_id", "salt", "canonical_name", "types_json",
+                "surfaces_json", "count"]]
+
+
+def _finalize_bucket(
+    df: pd.DataFrame, kb_type_by_id: dict[str, str]
+) -> pd.DataFrame:
+    merged = _merge_partials_bucket(df, ["entity_id"])
+    kb_type = merged["entity_id"].map(kb_type_by_id)
+    min_type = merged["types_json"].map(
+        lambda tj: min(json.loads(tj)) if json.loads(tj) else "Text"
+    )
     return pd.DataFrame(
         {
-            "entity_id": [eid],
-            "canonical_name": [merged["canonical_name"].iloc[0]],
-            "entity_type": [etype],
-            "mention_count": [int(merged["count"].iloc[0])],
-            "aliases_json": [merged["surfaces_json"].iloc[0]],
+            "entity_id": merged["entity_id"],
+            "canonical_name": merged["canonical_name"],
+            "entity_type": kb_type.fillna(min_type),
+            "mention_count": merged["count"].astype("int64"),
+            "aliases_json": merged["surfaces_json"],
         }
     )
 
@@ -133,13 +155,16 @@ def canonicalize_nodes(linked_mentions_ds, kb_rows: list[dict] | None = None):
         kb_rows = build_alias_kb()
     kb_type_by_id = {r["entity_id"]: r["entity_type"] for r in kb_rows}
 
+    from ..functions.grouping import bucketed_group_apply
+
     partials = linked_mentions_ds.map_batches(
         partial_nodes, batch_format="pyarrow"
     )
-    per_salt = partials.groupby(["entity_id", "salt"]).map_groups(
-        _merge_partials, batch_format="pandas"
+    per_salt = bucketed_group_apply(
+        partials, ["entity_id", "salt"], _merge_salt_bucket
     )
-    nodes = per_salt.groupby("entity_id").map_groups(
-        lambda df: _finalize(df, kb_type_by_id), batch_format="pandas"
+    nodes = bucketed_group_apply(
+        per_salt, "entity_id",
+        lambda df: _finalize_bucket(df, kb_type_by_id),
     )
     return nodes

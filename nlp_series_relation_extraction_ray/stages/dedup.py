@@ -36,18 +36,16 @@ def exact_dedup(docs_ds):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "text_md5": [df["text_md5"].iloc[0]],
-                "keep_doc_id": [int(df["keep_doc_id"].min())],
-                "n_copies": [int(df["n_copies"].sum())],
-            }
+        # vectorized over every md5 in the bucket (corpus-cardinality key)
+        return df.groupby("text_md5", as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "min"), n_copies=("n_copies", "sum")
         )
 
-    return (
-        docs_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("text_md5")
-        .map_groups(merge, batch_format="pandas")
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        "text_md5", merge,
     )
 
 

@@ -85,21 +85,24 @@ class EdgePartials:
         )
 
 
-def _merge_edges(df: pd.DataFrame) -> pd.DataFrame:
-    prov: list[str] = []
-    for pj in df["provenance_json"]:
-        prov.extend(json.loads(pj))
-    prov = sorted(set(prov))[:PROVENANCE_CAP]
-    return pd.DataFrame(
-        {
-            "src_id": [df["src_id"].iloc[0]],
-            "dst_id": [df["dst_id"].iloc[0]],
-            "predicate": [df["predicate"].iloc[0]],
-            "qualifiers_json": [df["qualifiers_json"].iloc[0]],
-            "weight": [int(df["weight"].sum())],
-            "provenance_json": [json.dumps(prov)],
-        }
+_EDGE_KEY = ["src_id", "dst_id", "predicate", "qualifiers_json"]
+
+
+def _merge_edges_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized merge over every edge key in a hash bucket: weights sum
+    via groupby, provenance lists explode → dedup → sort → cap."""
+    w = df.groupby(_EDGE_KEY, as_index=False)["weight"].sum()
+    w["weight"] = w["weight"].astype("int64")
+    p = df[_EDGE_KEY].copy()
+    p["prov"] = df["provenance_json"].map(json.loads)
+    p = p.explode("prov").drop_duplicates().sort_values(_EDGE_KEY + ["prov"])
+    prov = (
+        p.groupby(_EDGE_KEY)["prov"]
+        .agg(lambda s: json.dumps(list(s)[:PROVENANCE_CAP]))
+        .rename("provenance_json")
+        .reset_index()
     )
+    return w.merge(prov, on=_EDGE_KEY)
 
 
 def _task_edge_partials(batch: pa.Table, ref_key, alias_index_ref) -> pa.Table:
@@ -116,14 +119,16 @@ def materialize_edges(triples_ds, alias_index_ref=None, concurrency=None):
     """Triples Dataset -> deduplicated weighted edges Dataset.
 
     Task-based combiner with a per-worker cached linker (cheap state); the
-    dedup itself is the ``groupby(edge_key)`` merge of partials.
+    dedup itself is a hash-bucketed merge of partials (vectorized over all
+    edge keys in a bucket — edge-key cardinality scales with the corpus, so
+    a per-group reduce would pay per-group frame overhead).
     """
+    from ..functions.grouping import bucketed_group_apply
+
     ref_key = alias_index_ref.hex() if alias_index_ref is not None else "kb"
     partials = triples_ds.map_batches(
         _task_edge_partials,
         fn_kwargs={"ref_key": ref_key, "alias_index_ref": alias_index_ref},
         batch_format="pyarrow",
     )
-    return partials.groupby(
-        ["src_id", "dst_id", "predicate", "qualifiers_json"]
-    ).map_groups(_merge_edges, batch_format="pandas")
+    return bucketed_group_apply(partials, _EDGE_KEY, _merge_edges_bucket)

@@ -543,6 +543,216 @@ class TrainedMhsExtractor:
         )
 
 
+# ---- trained biaffine (bilinear end-pair attention) ----------------------
+
+BIAFFINE_D = 16
+
+
+def _embed_table(seed: int = 101) -> np.ndarray:
+    """Fixed seeded random-projection token embedding [F_DIM, D]: the
+    frozen-encoder analog (the reference's BERT encoder feeds the biaffine
+    layer; here hashed window features project into D dims and only the
+    bilinear scorer is learned)."""
+    rng = np.random.RandomState(seed)
+    return (
+        rng.randn(F_DIM, BIAFFINE_D).astype(np.float32)
+        / np.sqrt(K_FEATS + 1)
+    )
+
+
+def _embed_tokens(E: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """[L, D] token representations: sum of feature embeddings."""
+    return E[featurize_typed(tokens)].sum(axis=1)
+
+
+def _biaffine_scores(
+    U: np.ndarray, V: np.ndarray, c: np.ndarray,
+    e1: np.ndarray, e2: np.ndarray,
+) -> np.ndarray:
+    """[B, R] logits: e1ᵀ U_r e2 + [e1;e2]·V_r + c_r — the exact pair form
+    of /root/reference/models/model_mhs_biaffine.py:10-28 (einsum
+    'bxi,oij,byj->boxy' + concat·w2), restricted to candidate end pairs."""
+    bil = np.einsum("bd,rde,be->br", e1, U, e2, optimize=True)
+    cat = np.concatenate([e1, e2], axis=1)
+    return bil + cat @ V.T + c
+
+
+def train_biaffine_scorer(
+    train_lo: int = 50_000,
+    n_train_convs: int = 1_500,
+    span_epochs: int = 40,
+    pair_epochs: int = 40,
+    lr: float = 0.2,
+    pos_weight: float = 8.0,
+    seed: int = 2,
+):
+    """Train the typed-span pointer model (shared decode with MHS, as in the
+    reference where run_mhs_biaffine.py differs from run_mhs.py only by the
+    pair scorer) plus a **bilinear** end-pair relation model
+    ``e1ᵀ U_r e2 + [e1;e2]·V_r + c_r`` over frozen random-projection token
+    embeddings.  Returns ``(W_span, b_span, E, U, V, c)``.  Deterministic.
+    """
+    from ..sources.transcripts import fact_for, n_turns, turn_text
+    from .mhs_head import MhsHead, build_gold_typed_spoes
+
+    head = MhsHead()
+    E = _embed_table()
+    xs, ys = [], []
+    p1, p2, py = [], [], []
+    rng = np.random.RandomState(seed)
+    for i in range(train_lo, train_lo + n_train_convs):
+        for j in range(n_turns(i)):
+            spo = fact_for(i, j)
+            gold = [spo] if spo else []
+            ex = head.preprocess(turn_text(i, j))
+            tokens = ex["tokens"]
+            L = len(tokens)
+            spoes, _ = build_gold_typed_spoes(tokens, gold)
+            ysp = np.zeros((L, 2 * _E1), dtype=np.float32)
+            ends: set[int] = set()
+            pair_pos: dict[tuple[int, int], int] = {}
+            for s, os_ in spoes.items():
+                ysp[s[0], s[2]] = 1
+                ysp[s[1], _E1 + s[2]] = 1
+                ends.add(s[1])
+                for o in os_:
+                    ysp[o[0], o[2]] = 1
+                    ysp[o[1], _E1 + o[2]] = 1
+                    ends.add(o[1])
+                    pair_pos[(s[1], o[1])] = o[3]
+            xs.append(featurize_typed(tokens))
+            ys.append(ysp)
+            emb = _embed_tokens(E, tokens)
+            cand = sorted(ends) + list(rng.randint(1, max(2, L - 1), size=2))
+            for a in cand:
+                for b in cand:
+                    y = np.zeros(R_SLOTS, dtype=np.float32)
+                    p = pair_pos.get((int(a), int(b)))
+                    if p is not None:
+                        y[p] = 1
+                    p1.append(emb[int(a)])
+                    p2.append(emb[int(b)])
+                    py.append(y)
+    W_span, b_span = _sgd(np.concatenate(xs), np.concatenate(ys), 2 * _E1,
+                          span_epochs, seed=seed)
+
+    E1v = np.stack(p1)
+    E2v = np.stack(p2)
+    Y = np.stack(py)
+    U = np.zeros((R_SLOTS, BIAFFINE_D, BIAFFINE_D), dtype=np.float32)
+    V = np.zeros((R_SLOTS, 2 * BIAFFINE_D), dtype=np.float32)
+    c = np.zeros(R_SLOTS, dtype=np.float32)
+    for _ in range(pair_epochs):
+        order = rng.permutation(len(Y))
+        for s in range(0, len(order), 256):
+            sel = order[s : s + 256]
+            e1, e2, yb = E1v[sel], E2v[sel], Y[sel]
+            p = 1.0 / (1.0 + np.exp(-_biaffine_scores(U, V, c, e1, e2)))
+            g = (p - yb) * np.where(yb > 0, pos_weight, 1.0) * (lr / len(sel))
+            U -= np.einsum("br,bd,be->rde", g, e1, e2, optimize=True)
+            V -= g.T @ np.concatenate([e1, e2], axis=1)
+            c -= g.sum(axis=0)
+    return W_span, b_span, E, U, V, c
+
+
+class TrainedBiaffineExtractor:
+    """Actor-pool stage for the trained biaffine head: typed spans decode
+    first, then the bilinear pair model scores only decoded end pairs
+    (vectorized over the end×end candidate grid — never the dense L×L
+    cartesian the reference materializes on GPU)."""
+
+    def __init__(self, weights_ref):
+        import ray
+
+        (self.W_span, self.b_span, self.E,
+         self.U, self.V, self.c) = ray.get(weights_ref)
+        from .mhs_head import MhsHead
+
+        self.head = MhsHead()
+
+    def _spo_list(self, ex: dict) -> list[dict]:
+        from .format_spo import format_spoes
+        from .mhs_head import decode_pairs, decode_typed_spans
+
+        tokens = ex["tokens"]
+        L = len(tokens)
+        sp = 1.0 / (1.0 + np.exp(
+            -(self.W_span[featurize_typed(tokens)].sum(axis=1) + self.b_span)))
+        subjects, end_list = decode_typed_spans(sp[:, :_E1], sp[:, _E1:])
+        pair = np.zeros((L, L, R_SLOTS), dtype=np.float32)
+        if end_list:
+            emb = _embed_tokens(self.E, tokens)
+            ends = np.asarray(end_list, dtype=np.int64)
+            a_idx = np.repeat(ends, len(ends))
+            b_idx = np.tile(ends, len(ends))
+            probs = 1.0 / (1.0 + np.exp(-_biaffine_scores(
+                self.U, self.V, self.c, emb[a_idx], emb[b_idx])))
+            pair[a_idx, b_idx] = probs
+        spoes_pred = decode_pairs(pair, subjects, end_list)
+        return format_spoes(ex["context"], ex["tok_start"], ex["tok_end"],
+                            spoes_pred)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        out = {k: [] for k in ("conv_id", "turn_idx", "head", "predicate",
+                               "subject", "subject_type", "object_json",
+                               "object_type_json", "object_value")}
+        for cid, tix, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            ex = self.head.preprocess(text)
+            for spo in self._spo_list(ex):
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(tix)
+                out["head"].append("biaffine-trained")
+                out["predicate"].append(spo["predicate"])
+                out["subject"].append(spo["subject"])
+                out["subject_type"].append(spo["subject_type"])
+                out["object_json"].append(json.dumps(
+                    spo["object"], ensure_ascii=False, sort_keys=True))
+                out["object_type_json"].append(json.dumps(
+                    spo["object_type"], ensure_ascii=False, sort_keys=True))
+                out["object_value"].append(spo["object"].get("@value", ""))
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+                "head": pa.array(out["head"], pa.string()),
+                "predicate": pa.array(out["predicate"], pa.string()),
+                "subject": pa.array(out["subject"], pa.string()),
+                "subject_type": pa.array(out["subject_type"], pa.string()),
+                "object_json": pa.array(out["object_json"], pa.string()),
+                "object_type_json": pa.array(out["object_type_json"],
+                                             pa.string()),
+                "object_value": pa.array(out["object_value"], pa.string()),
+            }
+        )
+
+
+def extract_triples_trained_biaffine(transcripts_ds, weights_ref,
+                                     concurrency=None, batch_size: int = 128):
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, cpus // 2)
+    names = transcripts_ds.schema().names
+    needed = ["conv_id", "turn_idx", "text"]
+    if set(needed) < set(names):
+        transcripts_ds = transcripts_ds.select_columns(needed)
+    return transcripts_ds.map_batches(
+        TrainedBiaffineExtractor,
+        fn_constructor_kwargs={"weights_ref": weights_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def extract_triples_trained_mhs(transcripts_ds, weights_ref,
                                 concurrency=None, batch_size: int = 128):
     if concurrency is None:

@@ -72,6 +72,31 @@ def test_trained_mpn_cascade(ray_session):
     assert m["f1"] >= 0.90, m
 
 
+def test_trained_biaffine_pair_scorer(ray_session):
+    """Trained biaffine: typed-span pointers + bilinear end-pair scorer
+    (e1ᵀUe2 + [e1;e2]·V + c over frozen random-projection embeddings)
+    through the actor pool; reduced budget, gate 0.90 (the reduced recipe
+    itself measures F1 0.98)."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.trained_scorer import (
+        extract_triples_trained_biaffine,
+        train_biaffine_scorer,
+    )
+
+    weights = train_biaffine_scorer(
+        n_train_convs=700, span_epochs=20, pair_epochs=15
+    )
+    wref = ray.put(weights)
+    n = 150
+    triples = extract_triples_trained_biaffine(transcripts_dataset(n), wref)
+    total_gold = sum(
+        1 for i in range(n) for j in range(n_turns(i)) if fact_for(i, j)
+    )
+    m = evaluate_triples(triples, _synthetic_gold, total_gold)
+    assert m["f1"] >= 0.90, m
+
+
 def test_trained_mhs_typed_spans(ray_session):
     """Trained MHS: typed-span model + end-pair relation model through the
     actor pool; reduced budget, gate 0.90 (full recipe measures F1 1.0)."""

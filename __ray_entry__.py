@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "suppliers_per_region": rel.suppliers_per_region,
             "events_user_stats": rel.events_user_stats,
             "events_sessionize": rel.events_sessionize,
+            "events_sessionize_salted": rel.events_sessionize_salted,
             "events_prev_lag": rel.events_prev_lag,
             "docs_top_tokens": rel.docs_top_tokens,
             "parts_brand_stats": rel.parts_brand_stats,
@@ -379,6 +380,9 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "suppliers_per_region": rel.Q5_SQL,
         "events_user_stats": rel.EVENTS_SQL,
         "events_sessionize": rel.SESSIONIZE_SQL,
+        # the salted two-phase variant must be indistinguishable in output
+        # from the single-phase one — same oracle
+        "events_sessionize_salted": rel.SESSIONIZE_SQL,
         "events_prev_lag": rel.PREV_LAG_SQL,
         "docs_top_tokens": rel.TOP_TOKENS_SQL,
         "parts_brand_stats": rel.PARTS_SQL,

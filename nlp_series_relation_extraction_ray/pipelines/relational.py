@@ -547,6 +547,129 @@ FROM events
 """
 
 
+def events_sessionize_salted(
+    sf_dir: str,
+    gap_minutes: int = SESSION_GAP_MIN,
+    window_hours: int = 6,
+):
+    """Sessionize with the skewed-user mitigation: a hot user's timeline no
+    longer pins one reducer.
+
+    Two-phase split at STABLE time boundaries (fixed ``window_hours``
+    windows of the epoch clock — a pure function of ``ts``, independent of
+    partitioning):
+
+    1. shuffle on (user_id, window_id): each reducer sessionizes one
+       user-window slice vectorized and emits a compact partial —
+       (n_sessions m, first/last session sizes, max size, first/last event
+       ts, n_events).  A user with 10⁹ events across a year spreads over
+       ~1500 independent window partials instead of one reducer.
+    2. shuffle the per-window partials on user_id (tiny: windows, not
+       events) and fold them in time order: adjacent windows whose
+       boundary gap ≤ threshold merge the tail session of one with the
+       head session of the next.
+
+    Output contract identical to :func:`events_sessionize` (same
+    ``SESSIONIZE_SQL`` oracle — the split is invisible in the result).
+    """
+    from ..functions.grouping import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+    window_us = window_hours * 3600 * 1_000_000
+
+    def add_window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        df["window_id"] = (ts_us // window_us).astype("int64")
+        return df
+
+    def window_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized sessionize of every (user, window) slice in the bucket
+        df = df.sort_values(["user_id", "window_id", "ts", "event_id"])
+        users = df["user_id"].to_numpy()
+        wins = df["window_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new[1:] = (
+                (users[1:] != users[:-1])
+                | (wins[1:] != wins[:-1])
+                | ((ts[1:] - ts[:-1]) > gap)
+            )
+        sid = np.cumsum(new)
+        frame = pd.DataFrame(
+            {"user_id": users, "window_id": wins, "sid": sid, "ts": ts}
+        )
+        sess = frame.groupby(
+            ["user_id", "window_id", "sid"], as_index=False
+        ).agg(n=("sid", "size"))
+        # sid ascends with time within a (user, window), and groupby sorts
+        # keys, so first/last rows are the head/tail sessions
+        part = sess.groupby(["user_id", "window_id"], as_index=False).agg(
+            m=("sid", "size"),
+            n_first=("n", "first"),
+            n_last=("n", "last"),
+            max_all=("n", "max"),
+            n_events=("n", "sum"),
+        )
+        span = frame.groupby(["user_id", "window_id"], as_index=False).agg(
+            first_ts=("ts", "min"), last_ts=("ts", "max")
+        )
+        out = part.merge(span, on=["user_id", "window_id"])
+        for c in ("user_id", "window_id", "m", "n_first", "n_last",
+                  "max_all", "n_events"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = bucketed_group_apply(
+        ds.map_batches(add_window, batch_format="pandas"),
+        ["user_id", "window_id"], window_partials,
+    )
+
+    def fold_user(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for user, g in df.groupby("user_id"):
+            g = g.sort_values("window_id")
+            closed_count = 0
+            closed_max = 0
+            tail_n = 0
+            last_ts = None
+            for w in g.itertuples(index=False):
+                if last_ts is not None and (w.first_ts - last_ts) <= gap:
+                    if w.m == 1:
+                        tail_n += w.n_first
+                        closed_max = max(closed_max, int(w.max_all))
+                    else:
+                        closed_max = max(
+                            closed_max, tail_n + int(w.n_first),
+                            int(w.max_all),
+                        )
+                        closed_count += int(w.m) - 1
+                        tail_n = int(w.n_last)
+                else:
+                    if last_ts is not None:
+                        closed_count += 1
+                        closed_max = max(closed_max, tail_n)
+                    closed_max = max(closed_max, int(w.max_all))
+                    closed_count += int(w.m) - 1
+                    tail_n = int(w.n_last)
+                last_ts = w.last_ts
+            closed_count += 1
+            closed_max = max(closed_max, tail_n)
+            rows.append(
+                (int(user), closed_count, closed_max,
+                 int(g["n_events"].sum()))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["user_id", "n_sessions", "max_session_events",
+                     "n_events"],
+        ).astype("int64")
+
+    return bucketed_group_apply(partials, "user_id", fold_user)
+
+
 SESSIONIZE_SQL = f"""
 WITH o AS (
   SELECT user_id, event_id, ts,

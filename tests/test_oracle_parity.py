@@ -73,6 +73,7 @@ def _check(entry_mod, con, name):
         "suppliers_per_region",
         "events_user_stats",
         "events_sessionize",
+        "events_sessionize_salted",
         "events_prev_lag",
         "docs_top_tokens",
         "parts_brand_stats",

@@ -269,6 +269,26 @@ def _eval_pr(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _knn_ivf_partitioned(sf_dir: str):
+    """IVF top-k against a PHYSICALLY bucket-partitioned parquet index
+    (built once per sf_dir under /tmp): probe-time reads open only the
+    probed bucket partitions' files."""
+    import hashlib
+
+    from nlp_series_relation_extraction_ray.stages.similarity import (
+        build_ivf_index,
+        knn_ivf_partitioned,
+    )
+
+    key = ("ivf_index", sf_dir)
+    if key not in _SHARED_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        _SHARED_CACHE[key] = build_ivf_index(
+            _embs(sf_dir), f"/tmp/ivf_index_{tag}"
+        )
+    return knn_ivf_partitioned(_embs(sf_dir), _SHARED_CACHE[key])
+
+
 def _media_decode(sf_dir: str):
     import ray
 
@@ -335,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # similarity search
             "emb_knn_bruteforce": lambda sf: sim.knn_bruteforce(_embs(sf)),
             "emb_knn_ivf": lambda sf: sim.knn_ivf(_embs(sf)),
+            "emb_knn_ivf_partitioned": _knn_ivf_partitioned,
             # multimodal plumbing (stubbed decode kernel)
             "multimodal_image_decode": _media_decode,
             # the DuIE-style eval gate itself, as a queryable result

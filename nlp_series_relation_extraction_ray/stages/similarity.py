@@ -157,34 +157,18 @@ class IvfIndexStage:
         return batch.append_column("bucket", pa.array(assign, pa.int32()))
 
 
-def knn_ivf(
-    emb_ds,
-    n_queries: int = 5,
-    k: int = 10,
-    n_clusters: int = 16,
-    n_probe: int = 8,
-    train_sample: int = 2048,
-):
-    """Approximate cosine top-k via IVF: probe ``n_probe`` buckets per query."""
-    import ray
-
+def _train_centroids(emb_ds, n_clusters: int, train_sample: int) -> np.ndarray:
     sample = emb_ds.limit(train_sample).to_pandas()
-    train = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
-    centroids = kmeans_centroids(train, n_clusters)
-    cref = ray.put(centroids)
-
-    bucketed = emb_ds.map_batches(
-        IvfIndexStage,
-        fn_constructor_kwargs={"centroids_ref": cref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        num_cpus=1,
+    train = _normalize(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     )
+    return kmeans_centroids(train, n_clusters)
 
-    q_mat, q_ids = load_queries(emb_ds, n_queries)
-    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
-    probe_sets = [set(int(b) for b in row) for row in probe]
-    qref = ray.put((q_mat, q_ids, probe_sets))
+
+def _probe_topk_stage(qref, k: int):
+    """Shared per-batch partial top-k for the in-memory and partitioned IVF
+    paths: per query, only vectors in its probe buckets are candidates."""
+    import ray
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm, qi, probes = ray.get(qref)
@@ -209,8 +193,127 @@ def knn_ivf(
             }
         )
 
-    partials = bucketed.map_batches(partial_topk, batch_format="pyarrow")
+    return partial_topk
 
+
+def _probe_sets(q_mat: np.ndarray, centroids: np.ndarray, n_probe: int):
+    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    return [set(int(b) for b in row) for row in probe]
+
+
+def knn_ivf(
+    emb_ds,
+    n_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    train_sample: int = 2048,
+):
+    """Approximate cosine top-k via IVF: probe ``n_probe`` buckets per query."""
+    import ray
+
+    centroids = _train_centroids(emb_ds, n_clusters, train_sample)
+    cref = ray.put(centroids)
+
+    bucketed = emb_ds.map_batches(
+        IvfIndexStage,
+        fn_constructor_kwargs={"centroids_ref": cref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    q_mat, q_ids = load_queries(emb_ds, n_queries)
+    qref = ray.put((q_mat, q_ids, _probe_sets(q_mat, centroids, n_probe)))
+    partials = bucketed.map_batches(
+        _probe_topk_stage(qref, k), batch_format="pyarrow"
+    )
+
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )
+
+
+# ---- IVF with the bucket as a PHYSICAL Parquet partition key -------------
+
+
+def build_ivf_index(
+    emb_ds,
+    index_dir: str,
+    n_clusters: int = 16,
+    train_sample: int = 2048,
+) -> str:
+    """One-off index build: assign buckets and write the embedding table as
+    Parquet **partitioned by bucket** (``index_dir/bucket=<b>/``), plus the
+    centroid matrix.  At probe time only ``n_probe/n_clusters`` of the data
+    files are opened — the read pruning the in-memory variant only
+    simulates.  The ``bucket`` column is kept in the data files as well so
+    explicit-file reads don't depend on hive-partition inference."""
+    import os
+
+    import ray
+
+    centroids = _train_centroids(emb_ds, n_clusters, train_sample)
+    bucketed = emb_ds.map_batches(
+        IvfIndexStage,
+        fn_constructor_kwargs={"centroids_ref": ray.put(centroids)},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    # partition on a copy of the column: write_parquet drops partition
+    # columns from the data files
+    bucketed = bucketed.map_batches(
+        lambda t: t.append_column("bucket_part", t["bucket"]),
+        batch_format="pyarrow",
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    bucketed.write_parquet(index_dir, partition_cols=["bucket_part"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    return index_dir
+
+
+def probed_index_files(index_dir: str, buckets: set[int]) -> list[str]:
+    """Concrete parquet files of the probed bucket partitions only."""
+    import glob
+    import os
+
+    files: list[str] = []
+    for b in sorted(buckets):
+        files.extend(
+            sorted(glob.glob(os.path.join(index_dir, f"bucket_part={b}",
+                                          "*.parquet")))
+        )
+    return files
+
+
+def knn_ivf_partitioned(
+    emb_ds,
+    index_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_probe: int = 8,
+):
+    """IVF top-k against a physically partitioned index: the read itself
+    prunes to the union of the queries' probe buckets (file-level pruning),
+    then the shared per-query probe filter applies within batches.  Result
+    is identical to :func:`knn_ivf` built with the same centroids."""
+    import os
+
+    import ray
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q_mat, q_ids = load_queries(emb_ds, n_queries)
+    probes = _probe_sets(q_mat, centroids, n_probe)
+    union: set[int] = set().union(*probes) if probes else set()
+    files = probed_index_files(index_dir, union)
+    pruned = ray.data.read_parquet(
+        files, columns=["vec_id", "embedding", "bucket"]
+    )
+    qref = ray.put((q_mat, q_ids, probes))
+    partials = pruned.map_batches(
+        _probe_topk_stage(qref, k), batch_format="pyarrow"
+    )
     return partials.groupby("query_id").map_groups(
         lambda df: _merge_topk(df, k), batch_format="pandas"
     )

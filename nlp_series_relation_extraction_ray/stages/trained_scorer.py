@@ -190,6 +190,107 @@ def extract_triples_trained(
     )
 
 
+class BatchedTensorBaselineExtractor:
+    """The GPU-shaped slot proof: scores a WHOLE batch as one padded tensor
+    op with the exact ``[B, L, 112]`` interface of the reference forward
+    (``/root/reference/models/model_baseline.py:6-24`` — padded token batch
+    in, per-token 112-logit sigmoid out), instead of per-example calls.
+
+    Examples are padded to the batch max length with a reserved feature id
+    pointing at an all-zero weight row (the mask analog); decode slices
+    each example's true length.  Triples are bit-identical to
+    :class:`TrainedBaselineExtractor` (same weights, same math, batched) —
+    pinned by ``test_batched_tensor_scorer_identical``.  A real
+    torch/BERT scorer drops into this same batched interface with
+    ``num_gpus`` on the ``map_batches`` call.
+    """
+
+    def __init__(self, weights_ref):
+        import ray
+
+        W, self.b = ray.get(weights_ref)
+        # reserved pad row: id F_DIM scores zero everywhere
+        self.W_pad = np.vstack([W, np.zeros((1, W.shape[1]), W.dtype)])
+        self.head = BaselineHead()
+
+    def _score_batch(self, token_lists: list[list[str]]) -> np.ndarray:
+        """[B, L_max, 112] probs in one vectorized gather+sum+sigmoid."""
+        B = len(token_lists)
+        L_max = max(len(t) for t in token_lists)
+        idx = np.full((B, L_max, K_FEATS), F_DIM, dtype=np.int64)
+        for i, toks in enumerate(token_lists):
+            idx[i, : len(toks)] = featurize(toks)
+        return 1.0 / (
+            1.0 + np.exp(-(self.W_pad[idx].sum(axis=2) + self.b))
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        exs = [self.head.preprocess(t)
+               for t in batch["text"].to_pylist()]
+        probs = self._score_batch([ex["tokens"] for ex in exs])
+        out = {k: [] for k in ("conv_id", "turn_idx", "head", "predicate",
+                               "subject", "subject_type", "object_json",
+                               "object_type_json", "object_value")}
+        for i, (cid, tix) in enumerate(zip(
+            batch["conv_id"].to_pylist(), batch["turn_idx"].to_pylist()
+        )):
+            L = len(exs[i]["tokens"])
+            _, spo_list = self.head.decode(exs[i], probs[i, :L])
+            for spo in spo_list:
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(tix)
+                out["head"].append("baseline-batched")
+                out["predicate"].append(spo["predicate"])
+                out["subject"].append(spo["subject"])
+                out["subject_type"].append(spo["subject_type"])
+                out["object_json"].append(json.dumps(
+                    spo["object"], ensure_ascii=False, sort_keys=True))
+                out["object_type_json"].append(json.dumps(
+                    spo["object_type"], ensure_ascii=False, sort_keys=True))
+                out["object_value"].append(spo["object"].get("@value", ""))
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+                "head": pa.array(out["head"], pa.string()),
+                "predicate": pa.array(out["predicate"], pa.string()),
+                "subject": pa.array(out["subject"], pa.string()),
+                "subject_type": pa.array(out["subject_type"], pa.string()),
+                "object_json": pa.array(out["object_json"], pa.string()),
+                "object_type_json": pa.array(out["object_type_json"],
+                                             pa.string()),
+                "object_value": pa.array(out["object_value"], pa.string()),
+            }
+        )
+
+
+def extract_triples_batched_tensor(
+    transcripts_ds, weights_ref, concurrency=None, batch_size: int = 64
+):
+    """Batched-tensor extraction through the actor pool.  ``batch_size``
+    bounds the padded tensor (B × L_max × 112 floats); for a GPU scorer add
+    ``num_gpus=...`` here and nothing else changes."""
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, cpus // 2)
+    names = transcripts_ds.schema().names
+    needed = ["conv_id", "turn_idx", "text"]
+    if set(needed) < set(names):
+        transcripts_ds = transcripts_ds.select_columns(needed)
+    return transcripts_ds.map_batches(
+        BatchedTensorBaselineExtractor,
+        fn_constructor_kwargs={"weights_ref": weights_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 # ---- trained MPN cascade -------------------------------------------------
 
 R_SLOTS = 55

@@ -40,6 +40,33 @@ def test_trained_scorer_clears_gate(ray_session, weights):
     assert m["f1"] >= 0.95
 
 
+def test_batched_tensor_scorer_identical(ray_session, weights):
+    """The [B, L, 112] padded-tensor batched scorer must emit exactly the
+    triples of the per-example path — proving the GPU-shaped batched
+    interface (pad + mask + single tensor op per batch) end to end."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.trained_scorer import (
+        extract_triples_batched_tensor,
+    )
+
+    wref = ray.put(weights)
+    cols = ["conv_id", "turn_idx", "predicate", "subject", "object_json"]
+    per_example = (
+        extract_triples_trained(transcripts_dataset(N_EVAL), wref)
+        .select_columns(cols).to_pandas()
+        .sort_values(cols).reset_index(drop=True)
+    )
+    batched = (
+        extract_triples_batched_tensor(transcripts_dataset(N_EVAL), wref)
+        .select_columns(cols).to_pandas()
+        .sort_values(cols).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(per_example, batched)
+
+
 def test_trained_weights_deterministic():
     # small budget: only the bit-for-bit reproducibility is under test
     W, b = train_baseline_scorer(n_train_convs=200, epochs=3)

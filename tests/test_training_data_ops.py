@@ -128,6 +128,49 @@ def test_knn_ivf_recall(embs):
     assert np.mean(recalls) >= 0.8
 
 
+def test_knn_ivf_partitioned_prunes_and_matches(embs, tmp_path):
+    """The physically partitioned IVF index must (a) return exactly the
+    in-memory IVF result for the same centroids and (b) open only the
+    probed buckets' files at read time."""
+    import glob
+
+    from nlp_series_relation_extraction_ray.stages.similarity import (
+        _probe_sets,
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_partitioned,
+        load_queries,
+        probed_index_files,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(embs, idx, n_clusters=8)
+    got = (
+        knn_ivf_partitioned(embs, idx, n_queries=5, k=10, n_probe=4)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        knn_ivf(embs, n_queries=5, k=10, n_clusters=8, n_probe=4)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # pruning is real: the probed file set is a strict subset of the index
+    import numpy as np_
+
+    centroids = np_.load(f"{idx}/centroids.npy")
+    q_mat, _ = load_queries(embs, 5)
+    union = set().union(*_probe_sets(q_mat, centroids, 4))
+    probed = probed_index_files(idx, union)
+    all_files = glob.glob(f"{idx}/bucket_part=*/*.parquet")
+    assert len(probed) < len(all_files)
+    assert set(probed) <= set(all_files)
+
+
 def test_langid_deterministic(docs):
     from nlp_series_relation_extraction_ray.stages.textstats import langid
 

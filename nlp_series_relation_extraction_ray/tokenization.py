@@ -14,11 +14,15 @@ WordPiece vocab (none is shippable here):
   forbidden-overlap window and a linear fallback (parity:
   ``data_utils.py:114-171``).
 
-Divergence from the reference (documented, deterministic): WordPiece subword
-splitting of latin/digit runs is replaced by "one token per run, lowercased".
-Both the label builders and the decoders here use the *same* tokenizer, exactly
-as the reference pairs its label builders with the same BERT tokenizer, so the
-decode round-trip semantics are preserved.
+Divergence from the reference (documented, deterministic): the DEFAULT
+tokenizer replaces WordPiece subword splitting of latin/digit runs with "one
+token per run, lowercased".  :class:`WordPieceTokenizer` (greedy
+longest-match over a corpus-built vocab, :func:`build_wordpiece_vocab`)
+closes that divergence as an opt-in — multi-subtoken pieces get the whole
+piece's char span, exactly like the reference alignment loop.  Both the
+label builders and the decoders here use the *same* tokenizer, exactly as
+the reference pairs its label builders with the same BERT tokenizer, so the
+decode round-trip semantics are preserved either way.
 """
 
 from __future__ import annotations
@@ -121,6 +125,85 @@ class DeterministicTokenizer:
         if piece == " ":
             return []
         return [piece.lower()]
+
+
+class WordPieceTokenizer(DeterministicTokenizer):
+    """Greedy longest-match-first WordPiece over latin/digit runs — the
+    subword option closing the documented divergence above.
+
+    Semantics parity with the reference's BERT WordPiece usage
+    (``/root/reference/dataset/data_utils.py:98-112``): ``tokenize`` may
+    return several sub-tokens per piece; ``convert_to_tokens`` assigns each
+    sub-token the WHOLE piece's char span, exactly like the reference loop.
+    Continuations carry the ``##`` prefix.  Divergences (documented):
+    the vocab is frequency-built from the corpus
+    (:func:`build_wordpiece_vocab`) instead of pretrained, and an
+    out-of-vocab character falls back to a single-char token rather than
+    ``[UNK]`` — lossless, so label-builder and decoder stay aligned.
+    """
+
+    def __init__(self, vocab):
+        self.vocab = set(vocab)
+
+    def tokenize(self, piece: str) -> list[str]:
+        if piece == " ":
+            return []
+        piece = piece.lower()
+        if len(piece) == 1 or is_chinese_or_punct(piece[0]):
+            return [piece]
+        out: list[str] = []
+        start = 0
+        while start < len(piece):
+            end = len(piece)
+            cur = None
+            while start < end:
+                sub = piece[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:  # char fallback (vs the reference's [UNK])
+                cur = ("##" if start > 0 else "") + piece[start]
+                end = start + 1
+            out.append(cur)
+            start = end
+        return out
+
+
+def build_wordpiece_vocab(
+    texts, min_freq: int = 2, max_vocab: int = 20_000
+) -> set[str]:
+    """Deterministic frequency-built WordPiece vocab over a corpus sample.
+
+    Units: every seen character (plus its ``##`` continuation form — the
+    char fallback floor), whole latin/digit runs with frequency ≥
+    ``min_freq`` (capped at ``max_vocab`` by (-freq, token) order), and the
+    ``##``-suffix of every kept run (so a kept run matches greedily both at
+    piece start and as a continuation).
+    """
+    from collections import Counter
+
+    runs: Counter = Counter()
+    chars: set[str] = set()
+    for t in texts:
+        for piece in split_char_classes(t):
+            if piece == " ":
+                continue
+            piece = piece.lower()
+            chars.update(piece)
+            if len(piece) > 1 and not is_chinese_or_punct(piece[0]):
+                runs[piece] += 1
+    vocab = set(chars) | {"##" + c for c in chars}
+    kept = sorted(
+        (w for w, f in runs.items() if f >= min_freq),
+        key=lambda w: (-runs[w], w),
+    )[:max_vocab]
+    for w in kept:
+        vocab.add(w)
+        vocab.add("##" + w)
+    return vocab
 
 
 _DEFAULT_TOKENIZER = DeterministicTokenizer()

@@ -87,3 +87,75 @@ def test_oracle_roundtrip_random_entities(surface):
         _, spos = h.decode(ex, sc)
         tp, fp, fn = calculate_metric(gold, spos)
         assert tp == 1 and fn == 0, (head, text, spos)
+
+
+# ---- WordPiece subword option (closes the documented divergence) ---------
+
+_WP_CORPUS = [
+    "spark engine merges tokens fast",
+    "spark spark tokens merge merge engine",
+    "数据 data42 engine 引擎 tokens2000",
+]
+
+
+def _wp():
+    from nlp_series_relation_extraction_ray.tokenization import (
+        WordPieceTokenizer,
+        build_wordpiece_vocab,
+    )
+
+    return WordPieceTokenizer(build_wordpiece_vocab(_WP_CORPUS, min_freq=2))
+
+
+def test_wordpiece_splits_unseen_compound():
+    """A run made of a frequent word + unseen tail splits greedily into the
+    word plus ## continuations (real subword behavior, not whole-run)."""
+    tok = _wp()
+    pieces = tok.tokenize("sparkly")
+    assert pieces[0] == "spark"
+    assert all(p.startswith("##") for p in pieces[1:])
+    assert "spark" + "".join(p[2:] for p in pieces[1:]) == "sparkly"
+
+
+def test_wordpiece_whole_word_kept():
+    tok = _wp()
+    assert tok.tokenize("spark") == ["spark"]
+    assert tok.tokenize("中") == ["中"]  # CJK single chars pass through
+
+
+@given(texts)
+@settings(max_examples=200, derandomize=True)
+def test_wordpiece_alignment_lossless(text):
+    """With subword splitting ON: all sub-tokens of a piece share the
+    piece's char span, and stripping ## and concatenating reconstructs the
+    lowercased piece — the char-fallback guarantees losslessness."""
+    tok = _wp()
+    tokens, starts, ends = convert_to_tokens(text, tokenizer=tok)
+    assert len(tokens) == len(starts) == len(ends)
+    # group tokens by identical (start, end) span = one source piece
+    by_span: dict = {}
+    for t, s, e in zip(tokens, starts, ends):
+        assert 0 <= s <= e < len(text)
+        by_span.setdefault((s, e), []).append(t)
+    for (s, e), toks in by_span.items():
+        piece = text[s : e + 1].lower()
+        rebuilt = toks[0] + "".join(t[2:] for t in toks[1:])
+        assert rebuilt == piece
+
+
+def test_wordpiece_span_search_consistent():
+    """Gold-span search over subword tokens finds an entity tokenized with
+    the same tokenizer (label builder / decoder consistency)."""
+    from nlp_series_relation_extraction_ray.tokenization import (
+        search_spo_index,
+    )
+
+    tok = _wp()
+    text = "the sparkly engine merges tokens"
+    tokens, _, _ = convert_to_tokens(text, tokenizer=tok)
+    subj = tok.tokenize("sparkly")
+    obj = tok.tokenize("tokens")
+    si, oi = search_spo_index(tokens, subj, obj)
+    assert si >= 0 and oi >= 0
+    assert tokens[si : si + len(subj)] == subj
+    assert tokens[oi : oi + len(obj)] == obj

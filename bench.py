@@ -132,6 +132,8 @@ def bench_queries(sf_dir: str) -> dict:
         "docs_langid",
         "emb_knn_bruteforce",
         "emb_knn_ivf",
+        "emb_knn_ivf_partitioned",
+        "events_sessionize_salted",
         "transcripts_reconstruct",
     ]
     qs = entry.queries()
@@ -214,22 +216,22 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_child_extraction(sf_dir: str, num_cpus: int) -> None:
+def run_child_extraction(
+    sf_dir: str, num_cpus: int, multiplier: int = CONV_MULTIPLIER * 16
+) -> None:
     """Scaling child: extraction-only headline in a fresh Ray session."""
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
         _warmup()
-        # 16x the headline corpus (~1.6M turns at sf0.1): the scaling job
-        # must be large enough that fixed scheduling overhead does not mask
-        # the parallel speedup
+        # large corpus (~1.6M turns at sf0.1 with the default multiplier):
+        # the scaling job must be large enough that fixed scheduling
+        # overhead does not mask the parallel speedup
         # best of 3 trials: single-node wall clock is noisy (turbo, page
         # cache); the best trial is the least-contended estimate
         trials = [
-            bench_extraction(
-                sf_dir, head="baseline", multiplier=CONV_MULTIPLIER * 16
-            )
+            bench_extraction(sf_dir, head="baseline", multiplier=multiplier)
             for _ in range(3)
         ]
         res = min(trials, key=lambda r: r["wall_s"])
@@ -277,13 +279,39 @@ def _hardware_control(num_workers: int) -> float:
     return round(total_turns / wall, 1)
 
 
-def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+def run_scaling(
+    sf_dir: str,
+    cpus_lo: int = 8,
+    cpus_hi: int = 32,
+    multiplier: int = CONV_MULTIPLIER * 16,
+) -> dict:
+    """N vs 4N parallelism in fresh processes on the same input.
+
+    The default 8→32 pair SATURATES this 32-core box, so raw efficiency
+    folds in the machine's genuine per-core degradation under full load
+    (the raw-task hardware control measures that ceiling).  A 4→16 pair
+    leaves the box unsaturated at both ends — per-core performance stays
+    constant like on a real N→4N node cluster — and is reported alongside
+    as the cluster-analog measurement (bench.py --scaling --cpus-lo 4
+    --cpus-hi 16).
+    """
     results = {}
+    pin = shutil.which("taskset") is not None and not os.environ.get(
+        "GRAFT_NO_PIN"
+    )
     for cpus in (cpus_lo, cpus_hi):
+        cmd = [sys.executable, __file__, "--child-extract",
+               "--sf-dir", sf_dir, "--num-cpus", str(cpus),
+               "--multiplier", str(multiplier)]
+        if pin:
+            # pin the child to exactly `cpus` physical cores: a cluster
+            # node's workers cannot migrate onto idle sibling cores for
+            # turbo headroom, so an unpinned low-cpu run on a mostly-idle
+            # 32-core box overstates per-core throughput and understates
+            # scaling efficiency
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, __file__, "--child-extract",
-             "--sf-dir", sf_dir, "--num-cpus", str(cpus)],
-            capture_output=True, text=True, timeout=3600,
+            cmd, capture_output=True, text=True, timeout=3600,
         )
         if proc.returncode != 0 or not proc.stdout.strip():
             raise RuntimeError(
@@ -350,6 +378,9 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus-lo", type=int, default=8)
+    ap.add_argument("--cpus-hi", type=int, default=32)
+    ap.add_argument("--multiplier", type=int, default=CONV_MULTIPLIER * 16)
     ap.add_argument("--stats", action="store_true",
                     help="dump ds.stats() of the headline extraction to "
                          "/tmp/bench_extract_stats.txt")
@@ -357,10 +388,11 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.child_extract:
-        run_child_extraction(args.sf_dir, args.num_cpus)
+        run_child_extraction(args.sf_dir, args.num_cpus, args.multiplier)
         return
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir)))
+        print(json.dumps(run_scaling(
+            args.sf_dir, args.cpus_lo, args.cpus_hi, args.multiplier)))
         return
     if args.stats:
         dump_stats(args.sf_dir, args.num_cpus)

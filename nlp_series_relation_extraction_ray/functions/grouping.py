@@ -24,9 +24,17 @@ import pandas as pd
 
 
 def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
+    if len(df) == 0:
+        # hash_pandas_object raises on empty object-dtype columns
+        return np.array([], dtype=np.int32)
     h = np.zeros(len(df), dtype=np.uint64)
     for k in keys:
-        h ^= pd.util.hash_pandas_object(df[k], index=False).to_numpy(
+        s = df[k]
+        if pd.api.types.is_numeric_dtype(s):
+            # canonicalize: an int64 key NaN-upcast to float64 in another
+            # block must hash identically (2 vs 2.0); exact for |v| < 2^53
+            s = s.astype("float64")
+        h ^= pd.util.hash_pandas_object(s, index=False).to_numpy(
             dtype=np.uint64
         )
     return (h % np.uint64(n_buckets)).astype(np.int32)
@@ -43,11 +51,20 @@ def bucketed_group_apply(ds, keys, fn, n_buckets: int = 64):
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
+        if len(df) == 0 and not all(k in df.columns for k in keys):
+            # degenerate empty block (e.g. schema-less artifact): it holds
+            # no rows, so it contributes nothing — canonical minimal schema
+            return pd.DataFrame({"__bucket": pd.Series([], dtype="int32")})
         df["__bucket"] = _bucket_of(df, keys, n_buckets)
         return df
 
     def apply_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return fn(df.drop(columns="__bucket"))
+        df = df.drop(columns="__bucket")
+        if len(df) == 0 and not all(k in df.columns for k in keys):
+            # zero-row degenerate group frame: emit nothing (fn would not
+            # know this schema either)
+            return pd.DataFrame()
+        return fn(df)
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")

@@ -61,27 +61,37 @@ def shuffle_join(left_ds, right_ds, on: str, l_cols=None, r_cols=None):
     l_names = list(left_ds.schema().names)
     r_names = list(right_ds.schema().names)
 
+    # normalize both sides to the SAME column set before the union (missing
+    # columns become NaN): every downstream block then carries one schema,
+    # so the bucketed shuffle never sees schema-divergent blocks
+    all_names = list(dict.fromkeys(l_names + r_names))
+
     def tag(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "__side", pa.array([side] * batch.num_rows, pa.string())
-            )
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reindex(columns=all_names)
+            df["__side"] = side
+            return df
 
         return fn
 
-    tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
-        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    tagged = left_ds.map_batches(tag("l"), batch_format="pandas").union(
+        right_ds.map_batches(tag("r"), batch_format="pandas")
     )
 
-    def join_group(df: pd.DataFrame) -> pd.DataFrame:
-        # reindex: a group block may carry only one side's physical schema
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pandas merge per hash bucket joins EVERY key in
+        # the bucket at once (merge handles the per-key cartesian); a
+        # per-group merge would pay frame construction per distinct key
+        # reindex: a bucket block may carry only one side's physical schema
         l = df[df["__side"] == "l"].reindex(columns=l_names)
         r = df[df["__side"] == "r"].reindex(columns=r_names)
         # merge on empty sides still yields the full joined column set, so
         # downstream stages always see a stable schema
         return l.merge(r, on=on)
 
-    return tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+    from .grouping import bucketed_group_apply
+
+    return bucketed_group_apply(tagged, on, join_bucket)
 
 
 def cents(x: np.ndarray | pd.Series) -> np.ndarray:

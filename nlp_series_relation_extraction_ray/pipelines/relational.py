@@ -190,25 +190,24 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     partials = line.map_batches(revenue_partial, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        rev = df[df["is_order"] == 0]
-        # inner-join semantics: emit only orders in the segment (a marker
-        # row present) that have lineitem revenue rows
-        if not (df["is_order"] == 1).any() or rev.empty:
-            return pd.DataFrame(
-                {
-                    "o_orderkey": pd.Series([], dtype="int64"),
-                    "revenue_cents": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "o_orderkey": [int(df["l_orderkey"].iloc[0])],
-                "revenue_cents": [int(rev["revenue_cents"].sum())],
-            }
+        # vectorized over every orderkey in the bucket; inner-join
+        # semantics: emit only orders in the segment (a marker row
+        # present) that have lineitem revenue rows
+        rev = df[df["is_order"] == 0].groupby(
+            "l_orderkey", as_index=False
+        )["revenue_cents"].sum()
+        present = df.loc[df["is_order"] == 1, "l_orderkey"].unique()
+        out = rev[rev["l_orderkey"].isin(present)].rename(
+            columns={"l_orderkey": "o_orderkey"}
         )
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
 
-    per_order = markers.union(partials).groupby("l_orderkey").map_groups(
-        merge, batch_format="pandas"
+    from ..functions.grouping import bucketed_group_apply
+
+    per_order = bucketed_group_apply(
+        markers.union(partials), "l_orderkey", merge
     )
     return per_order.sort(
         ["revenue_cents", "o_orderkey"], descending=[True, False]

@@ -124,23 +124,29 @@ def minhash_band_rows(batch: pa.Table) -> pa.Table:
 
 
 def _lsh_candidates(docs_ds, max_bucket: int):
-    """bands -> groupby(band, bucket) -> candidate pair Dataset."""
+    """bands -> hash-bucketed (band, bucket) co-location -> candidate pairs.
+
+    LSH-bucket cardinality ≈ 16 × #docs, so the reduce is vectorized over
+    every (band, bucket) group in a hash bucket at once: per-group sizes
+    via ``transform("size")`` (skipping singletons and >``max_bucket``
+    degenerates), then a self-merge emits each group's pair cartesian —
+    no per-group Python.
+    """
+    from ..functions.grouping import bucketed_group_apply
+
     bands = docs_ds.map_batches(minhash_band_rows, batch_format="pyarrow")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(df["doc_id"]))
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        d = df.drop_duplicates(["band", "bucket", "doc_id"])
+        sz = d.groupby(["band", "bucket"])["doc_id"].transform("size")
+        d = d[(sz >= 2) & (sz <= max_bucket)]
+        p = d.merge(d, on=["band", "bucket"], suffixes=("_a", "_b"))
+        p = p.loc[p["doc_id_a"] < p["doc_id_b"], ["doc_id_a", "doc_id_b"]]
+        p = p.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+        p = p.drop_duplicates()
+        return p.astype({"doc_a": "int64", "doc_b": "int64"})
 
-    return bands.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    return bucketed_group_apply(bands, ["band", "bucket"], bucket_pairs)
 
 
 def near_dup_pairs_distributed(
@@ -156,10 +162,14 @@ def near_dup_pairs_distributed(
 
     from ..functions.joins import shuffle_join
 
+    from ..functions.grouping import bucketed_group_apply
+
     cand = _lsh_candidates(docs_ds, max_bucket)
-    # cross-band pair de-dup: hash-partition on the pair key
-    uniq = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda df: df.iloc[:1], batch_format="pandas"
+    # cross-band pair de-dup: hash-partition on the pair key, vectorized
+    # drop_duplicates per bucket
+    uniq = bucketed_group_apply(
+        cand, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
     )
     docs_a = docs_ds.select_columns(["doc_id", "text"]).rename_columns(
         {"doc_id": "doc_a", "text": "text_a"}
@@ -319,6 +329,7 @@ def embedding_dup_pairs(
     """
     import ray
 
+    from ..functions.grouping import bucketed_group_apply
     from .similarity import _normalize, kmeans_centroids
 
     sample = emb_ds.limit(train_sample).to_pandas()
@@ -370,6 +381,7 @@ def embedding_dup_pairs(
     )
     # cross-probe pair de-dup: a pair whose vectors share both top-2
     # centroids appears in two buckets
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda df: df.iloc[:1], batch_format="pandas"
+    return bucketed_group_apply(
+        pairs, ["vec_a", "vec_b"],
+        lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
     )

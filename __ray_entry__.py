@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_near_dup_pairs":
                 lambda sf: dd.near_dup_pairs_distributed(_docs(sf)),
             "docs_simhash": lambda sf: dd.simhash_table(_docs(sf)),
+            "docs_simhash_near_dup":
+                lambda sf: dd.simhash_near_dup_pairs(_docs(sf)),
             "emb_dup_pairs": _emb_dups,
             # text analysis
             "docs_token_stats": lambda sf: ts.token_stats(_docs(sf)),

@@ -304,6 +304,84 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def simhash_near_dup_pairs(docs_ds, max_hamming: int = 8):
+    """(doc_a, doc_b, hamming:int64) near-dup pairs by SimHash distance.
+
+    Band-LSH over the 64-bit fingerprint: split into 4 × 16-bit bands; two
+    docs within Hamming distance ≤ 3 of each other are guaranteed to agree
+    on at least one whole band (pigeonhole), and ``max_hamming`` up to ~8
+    still has high recall with 4 bands in practice.  Candidates co-locate
+    via ``groupby(band, band_value)`` (hash-bucketed, vectorized
+    self-merge), then the exact Hamming check verifies — the same
+    bucketed shape as MinHash/LSH, no all-pairs pass.
+    """
+    import pyarrow as pa
+
+    from ..functions.grouping import bucketed_group_apply
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out = {"band": [], "band_value": [], "doc_id": [], "simhash": []}
+        for i in range(batch.num_rows):
+            h = simhash64(batch["text"][i].as_py())
+            did = batch["doc_id"][i].as_py()
+            for band in range(4):
+                out["band"].append(band)
+                out["band_value"].append((h >> (band * 16)) & 0xFFFF)
+                out["doc_id"].append(did)
+                out["simhash"].append(h)
+        return pa.Table.from_pydict(
+            {
+                "band": pa.array(out["band"], pa.int32()),
+                "band_value": pa.array(out["band_value"], pa.int32()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                # uint64 keeps the full fingerprint in an Arrow-native type
+                "simhash": pa.array(
+                    [x & 0xFFFFFFFFFFFFFFFF for x in out["simhash"]],
+                    pa.uint64(),
+                ),
+            }
+        )
+
+    bands = docs_ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["band", "band_value", "doc_id"])
+        sz = d.groupby(["band", "band_value"])["doc_id"].transform("size")
+        d = d[sz >= 2]
+        p = d.merge(d, on=["band", "band_value"], suffixes=("_a", "_b"))
+        p = p[p["doc_id_a"] < p["doc_id_b"]]
+        if len(p) == 0:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        x = p["simhash_a"].to_numpy(dtype=np.uint64) ^ p[
+            "simhash_b"
+        ].to_numpy(dtype=np.uint64)
+        # vectorized popcount via byte-view lookup
+        lut = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1
+        ).sum(axis=1)
+        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+        out = pd.DataFrame(
+            {
+                "doc_a": p["doc_id_a"].to_numpy(dtype=np.int64),
+                "doc_b": p["doc_id_b"].to_numpy(dtype=np.int64),
+                "hamming": ham.astype(np.int64),
+            }
+        )
+        out = out[out["hamming"] <= max_hamming]
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    cand = bucketed_group_apply(bands, ["band", "band_value"], bucket_pairs)
+    # cross-band dedup of surviving pairs
+    return bucketed_group_apply(
+        cand, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+    )
+
+
 # ---- embedding cosine near-dup ------------------------------------------
 
 

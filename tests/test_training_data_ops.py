@@ -83,6 +83,28 @@ def test_simhash_hamming(docs):
     assert close < far
 
 
+def test_simhash_near_dup_pairs(docs):
+    """Band-LSH over SimHash surfaces the planted ' dup' near-copies with
+    small Hamming distance, verified exactly."""
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        hamming64,
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+
+    pairs = simhash_near_dup_pairs(docs, max_hamming=8).to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["hamming"] <= 8).all()
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+    texts = docs.to_pandas().set_index("doc_id")["text"]
+    # every reported pair's exact Hamming distance matches the fingerprint
+    for row in pairs.head(20).itertuples(index=False):
+        h = hamming64(simhash64(texts[row.doc_a]), simhash64(texts[row.doc_b]))
+        assert h == row.hamming
+    dup_ids = set(texts[texts.str.endswith("dup")].index)
+    assert dup_ids & (set(pairs["doc_a"]) | set(pairs["doc_b"]))
+
+
 def test_embedding_dup_pairs_planted(embs, ray_session):
     import ray
 

@@ -345,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_exact_dedup": lambda sf: dd.exact_dedup(_docs(sf)),
             "docs_near_dup_pairs":
                 lambda sf: dd.near_dup_pairs_distributed(_docs(sf)),
+            "docs_ngram_jaccard":
+                lambda sf: dd.ngram_jaccard_pairs(_docs(sf)),
             "docs_simhash": lambda sf: dd.simhash_table(_docs(sf)),
             "docs_simhash_near_dup":
                 lambda sf: dd.simhash_near_dup_pairs(_docs(sf)),
@@ -411,6 +413,7 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "parts_brand_stats": rel.PARTS_SQL,
         "docs_train_test_split": ts.train_test_split_sql(),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
+        "docs_ngram_jaccard": dd.NGRAM_JACCARD_SQL,
         "docs_token_stats": ts.TOKEN_STATS_SQL,
         "docs_quality": ts.QUALITY_SQL,
         "docs_langid": ts.LANGID_SQL,

@@ -261,6 +261,99 @@ def near_dup_pairs_driver_debug(
     return ray.data.from_pandas(out)
 
 
+# ---- exact n-gram Jaccard (SQL-verifiable dedup kernel) ------------------
+
+
+def ngram_jaccard_pairs(docs_ds, n: int = 3, min_pct: int = 30):
+    """(doc_a, doc_b, jaccard_pct) — EXACT word-n-gram Jaccard for every
+    doc pair within a (lang, length-bucket) blocking group.
+
+    Unlike MinHash (probabilistic) this is the exact kernel, made tractable
+    by blocking: only docs sharing ``(lang, n_chars // 64)`` are compared
+    (near-dups barely change length, so recall loss is confined to edits
+    crossing a length boundary — the standard blocking trade-off).  The
+    blocking groupby is the shuffle; the in-bucket pair cartesian and the
+    shingle-set intersections run vectorized/in-worker.  ``jaccard_pct``
+    uses integer arithmetic (``100 * |∩| // |∪|``) so the DuckDB oracle
+    matches bit-for-bit.
+    """
+    from ..functions.grouping import bucketed_group_apply
+
+    def add_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "lang", "text"]].copy()
+        out["lb"] = (df["n_chars"] // 64).astype("int64")
+        return out
+
+    blocked = docs_ds.map_batches(add_block, batch_format="pandas")
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, pcts = [], [], []
+        for (_, _), g in df.groupby(["lang", "lb"]):
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy()
+            shingle_sets = [
+                _word_ngrams(t, n) for t in g["text"].tolist()
+            ]
+            order = np.argsort(ids)
+            for ii in range(len(order)):
+                for jj in range(ii + 1, len(order)):
+                    a, b = order[ii], order[jj]
+                    sa, sb = shingle_sets[a], shingle_sets[b]
+                    union = len(sa | sb)
+                    pct = (100 * len(sa & sb) // union) if union else 100
+                    if pct >= min_pct:
+                        rows_a.append(int(ids[a]))
+                        rows_b.append(int(ids[b]))
+                        pcts.append(pct)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype="int64"),
+                "doc_b": pd.Series(rows_b, dtype="int64"),
+                "jaccard_pct": pd.Series(pcts, dtype="int64"),
+            }
+        )
+
+    return bucketed_group_apply(blocked, ["lang", "lb"], block_pairs)
+
+
+def _word_ngrams(text: str, n: int) -> set[str]:
+    """Distinct word n-grams as strings (SQL-mirrorable: no hashing)."""
+    words = text.split(" ")
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+NGRAM_JACCARD_SQL = """
+WITH s AS (
+  SELECT doc_id, lang, n_chars // 64 AS lb,
+    list_distinct(
+      CASE WHEN len(string_split(text, ' ')) < 3
+           THEN [text]
+           ELSE list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])
+      END) AS grams
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.grams, b.grams)) AS inter,
+    len(list_distinct(list_concat(a.grams, b.grams))) AS uni
+  FROM s a JOIN s b
+    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(CASE WHEN uni = 0 THEN 100 ELSE 100 * inter // uni END AS BIGINT)
+    AS jaccard_pct
+FROM pairs
+WHERE (CASE WHEN uni = 0 THEN 100 ELSE 100 * inter // uni END) >= 30
+"""
+
+
 # ---- SimHash -------------------------------------------------------------
 
 
@@ -304,13 +397,15 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def simhash_near_dup_pairs(docs_ds, max_hamming: int = 8):
+def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3):
     """(doc_a, doc_b, hamming:int64) near-dup pairs by SimHash distance.
 
     Band-LSH over the 64-bit fingerprint: split into 4 × 16-bit bands; two
-    docs within Hamming distance ≤ 3 of each other are guaranteed to agree
-    on at least one whole band (pigeonhole), and ``max_hamming`` up to ~8
-    still has high recall with 4 bands in practice.  Candidates co-locate
+    docs within Hamming distance ≤ 3 of each other are GUARANTEED to agree
+    on at least one whole band (pigeonhole) — the default threshold.
+    Larger ``max_hamming`` trades recall guarantees for looser matching
+    (on short texts distances ≥ 8 admit many false positives; verify with
+    exact Jaccard downstream).  Candidates co-locate
     via ``groupby(band, band_value)`` (hash-bucketed, vectorized
     self-merge), then the exact Hamming check verifies — the same
     bucketed shape as MinHash/LSH, no all-pairs pass.

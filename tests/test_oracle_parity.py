@@ -79,6 +79,7 @@ def _check(entry_mod, con, name):
         "parts_brand_stats",
         "docs_train_test_split",
         "docs_exact_dedup",
+        "docs_ngram_jaccard",
         "docs_token_stats",
         "docs_quality",
         "docs_langid",

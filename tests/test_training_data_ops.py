@@ -233,6 +233,24 @@ def test_multimodal_plumbing(ray_session):
     frames = FrameSampleStage(every_n=10)(synth_media_table(2, kind="video"))
     assert frames.num_rows >= 2 * 3
     assert set(frames.schema.names) == {"media_id", "frame_idx", "frame_sha"}
+    # resize: fixed target dims, deterministic digest
+    from nlp_series_relation_extraction_ray.stages.multimodal import (
+        AudioFeatureStage,
+        ImageResizeStage,
+    )
+
+    rs = ImageResizeStage(target=(224, 224))(synth_media_table(5))
+    assert (pd.Series(rs["width"].to_pylist()) == 224).all()
+    assert rs["resized_sha"].to_pylist() == ImageResizeStage(
+        target=(224, 224))(synth_media_table(5))["resized_sha"].to_pylist()
+    # audio features: bounded duration, fixed feature dim, actor-pool drive
+    au = decode_media(
+        ray.data.from_arrow(synth_media_table(20, kind="audio")),
+        kind="audio",
+    ).to_pandas()
+    assert len(au) == 20
+    assert au["duration_ms"].between(500, 10000).all()
+    assert au["features"].map(len).eq(12).all()
 
 
 def test_shuffle_join_basic(ray_session):

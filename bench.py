@@ -128,6 +128,8 @@ def bench_queries(sf_dir: str) -> dict:
         "events_user_stats",
         "docs_exact_dedup",
         "docs_near_dup_pairs",
+        "docs_ngram_jaccard",
+        "docs_simhash_near_dup",
         "docs_token_stats",
         "docs_langid",
         "emb_knn_bruteforce",

@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_sessionize_salted": rel.events_sessionize_salted,
             "events_prev_lag": rel.events_prev_lag,
             "docs_top_tokens": rel.docs_top_tokens,
+            "docs_top2_per_lang": rel.docs_top2_per_lang,
+            "events_value_median": rel.events_value_median,
             "parts_brand_stats": rel.parts_brand_stats,
             "docs_train_test_split": lambda sf: ts.train_test_split(_docs(sf)),
             # dedup family
@@ -425,6 +427,8 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "events_sessionize_salted": rel.SESSIONIZE_SQL,
         "events_prev_lag": rel.PREV_LAG_SQL,
         "docs_top_tokens": rel.TOP_TOKENS_SQL,
+        "docs_top2_per_lang": rel.TOP2_PER_LANG_SQL,
+        "events_value_median": rel.VALUE_MEDIAN_SQL,
         "parts_brand_stats": rel.PARTS_SQL,
         "docs_train_test_split": ts.train_test_split_sql(),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,

@@ -498,6 +498,100 @@ LIMIT 20
 """
 
 
+# --- per-group top-k (the ROW_NUMBER window shape) ------------------------
+
+
+def docs_top2_per_lang(sf_dir: str, k: int = 2):
+    """Top-k docs per language by (n_chars desc, doc_id asc).
+
+    The per-group-sort window operator: groups co-locate via the hash
+    bucket shuffle, then one vectorized sort + ``groupby.head(k)`` ranks
+    every language in the bucket at once — no global sort, no per-group
+    Python (mirrors ``ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ...)``).
+    """
+    from ..functions.grouping import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        out = df.groupby("lang", as_index=False).head(k).copy()
+        out["rank"] = out.groupby("lang").cumcount() + 1
+        for c in ("doc_id", "n_chars", "rank"):
+            out[c] = out[c].astype("int64")
+        return out[["lang", "rank", "doc_id", "n_chars"]]
+
+    return bucketed_group_apply(ds, "lang", topk)
+
+
+TOP2_PER_LANG_SQL = """
+SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 2
+"""
+
+
+# --- per-user order-statistic aggregate (discrete median) -----------------
+
+
+def events_value_median(sf_dir: str):
+    """Per-user discrete median of event value (in cents).
+
+    Order-statistic aggregate: each user's values co-locate via the hash
+    bucket shuffle; the bucket reduce sorts once and picks every user's
+    lower-median element vectorized (``quantile_disc`` semantics: the
+    value at index ``ceil(q·n) - 1`` of the sorted list).  Exact — not a
+    sketch — so the SQL oracle matches bit-for-bit; at corpus scale swap
+    the in-bucket exact selection for a mergeable quantile sketch.
+    """
+    from ..functions.grouping import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def add_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "value_cents": cents(df["value"].to_numpy()),
+            }
+        )
+
+    def median_disc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value_cents"])
+        g = df.groupby("user_id")
+        n = g["value_cents"].transform("size").to_numpy()
+        pos_in_group = g.cumcount().to_numpy()
+        # lower median: index ceil(0.5*n) - 1 == (n - 1) // 2 of the sorted
+        # group (DuckDB quantile_disc(0.5))
+        take = pos_in_group == (n - 1) // 2
+        out = df.loc[take, ["user_id", "value_cents"]].rename(
+            columns={"value_cents": "median_cents"}
+        )
+        out["n_events"] = n[take]
+        out["median_cents"] = out["median_cents"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    partials = ds.map_batches(add_cents, batch_format="pandas")
+    return bucketed_group_apply(partials, "user_id", median_disc)
+
+
+VALUE_MEDIAN_SQL = """
+SELECT user_id,
+  CAST(quantile_disc(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0.5)
+    AS BIGINT) AS median_cents,
+  COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 # --- as-of lag: previous same-user event (ordered windowed lookup) --------
 
 

@@ -76,6 +76,8 @@ def _check(entry_mod, con, name):
         "events_sessionize_salted",
         "events_prev_lag",
         "docs_top_tokens",
+        "docs_top2_per_lang",
+        "events_value_median",
         "parts_brand_stats",
         "docs_train_test_split",
         "docs_exact_dedup",

@@ -88,3 +88,29 @@ def test_kg_job_entrypoint(ray_session, tmp_path):
     s2 = main(["--input", src, "--output", out, "--partitions", "3"])
     assert s2["ran"] == 0 and s2["skipped"] == s1["ran"]
     assert read_all_partitions(out).count() == rows1
+
+
+def test_read_all_partitions_skips_incomplete(ray_session, tmp_path):
+    """A partition with parquet but no (or a partial) manifest — a run
+    killed mid write_parquet — must NOT leak into downstream reads."""
+    import os
+
+    import pandas as pd
+
+    out = str(tmp_path / "ck3")
+    run_partitioned_extraction(24, out, head="baseline", n_partitions=2)
+    complete_rows = read_all_partitions(out).count()
+    assert complete_rows > 0
+
+    # simulate a killed run: data written, manifest missing
+    orphan = os.path.join(out, "part-0099", "data")
+    os.makedirs(orphan)
+    pd.DataFrame({"conv_id": ["x"], "turn_idx": [0]}).to_parquet(
+        os.path.join(orphan, "leak.parquet")
+    )
+    assert read_all_partitions(out).count() == complete_rows
+
+    # and with a corrupt manifest
+    with open(os.path.join(out, "part-0099", "MANIFEST.json"), "w") as f:
+        f.write("{not json")
+    assert read_all_partitions(out).count() == complete_rows

@@ -152,58 +152,92 @@ def _lsh_candidates(docs_ds, max_bucket: int):
 def near_dup_pairs_distributed(
     docs_ds, threshold: float = 0.7, max_bucket: int = 64
 ):
-    """Fully-distributed MinHash/LSH near-dup: candidates stay a Dataset,
-    pair de-dup is a groupby, and verification texts arrive via two shuffle
-    joins — the 100 TB shape (nothing corpus-sized touches the driver).
+    """Fully-distributed MinHash/LSH near-dup — the 100 TB shape (nothing
+    corpus-sized touches the driver), in THREE shuffles total:
+
+    1. candidate generation (band-bucket co-location, vectorized);
+    2. text attach: each candidate explodes into one row per member doc
+       (``slot`` 0/1), unions with the doc table, and one doc-keyed
+       bucketed reduce pins each side's text — a single shuffle replaces
+       two sequential shuffle joins;
+    3. pair assembly: a pair-keyed bucketed reduce joins the two sides,
+       de-dups cross-band duplicates, and runs the exact word-3-gram
+       Jaccard verification in-bucket.
 
     Same output contract as :func:`near_dup_pairs_driver_debug`.
     """
-    import pyarrow.compute as pc
-
-    from ..functions.joins import shuffle_join
-
     from ..functions.grouping import bucketed_group_apply
 
     cand = _lsh_candidates(docs_ds, max_bucket)
-    # cross-band pair de-dup: hash-partition on the pair key, vectorized
-    # drop_duplicates per bucket
-    uniq = bucketed_group_apply(
-        cand, ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-    )
-    docs_a = docs_ds.select_columns(["doc_id", "text"]).rename_columns(
-        {"doc_id": "doc_a", "text": "text_a"}
-    )
-    docs_b = docs_ds.select_columns(["doc_id", "text"]).rename_columns(
-        {"doc_id": "doc_b", "text": "text_b"}
-    )
-    with_a = shuffle_join(uniq, docs_a, on="doc_a",
-                          l_cols=["doc_b"], r_cols=["text_a"])
-    with_ab = shuffle_join(with_a, docs_b, on="doc_b",
-                           l_cols=["doc_a", "text_a"], r_cols=["text_b"])
 
-    def verify(batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for i in range(batch.num_rows):
-            a = batch["doc_a"][i].as_py()
-            b = batch["doc_b"][i].as_py()
-            j = jaccard(
-                word_shingles(batch["text_a"][i].as_py()),
-                word_shingles(batch["text_b"][i].as_py()),
-            )
-            if j >= threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
-                out_j.append(int(round(j * 100)))
-        return pa.Table.from_pydict(
+    def explode_sides(df: pd.DataFrame) -> pd.DataFrame:
+        a = pd.DataFrame(
+            {"doc_id": df["doc_a"], "pair_a": df["doc_a"],
+             "pair_b": df["doc_b"], "slot": np.int8(0)}
+        )
+        b = pd.DataFrame(
+            {"doc_id": df["doc_b"], "pair_a": df["doc_a"],
+             "pair_b": df["doc_b"], "slot": np.int8(1)}
+        )
+        out = pd.concat([a, b], ignore_index=True)
+        out["text"] = pd.Series([None] * len(out), dtype="object")
+        return out
+
+    sides = cand.map_batches(explode_sides, batch_format="pandas")
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard_pct": pa.array(out_j, pa.int64()),
+                "doc_id": df["doc_id"].astype("int64"),
+                "pair_a": np.int64(-1),
+                "pair_b": np.int64(-1),
+                "slot": np.int8(-1),
+                "text": df["text"],
             }
         )
 
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+    docs = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        doc_rows, batch_format="pandas"
+    )
+
+    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over every doc in the bucket: pin the doc's text onto
+        # each of its candidate-side rows
+        texts = df.loc[df["slot"] == -1, ["doc_id", "text"]]
+        side = df[df["slot"] >= 0].drop(columns="text")
+        return side.merge(texts, on="doc_id")[
+            ["pair_a", "pair_b", "slot", "text"]
+        ]
+
+    with_text = bucketed_group_apply(sides.union(docs), "doc_id", attach_text)
+
+    def assemble_verify(df: pd.DataFrame) -> pd.DataFrame:
+        # cross-band duplicate candidates collapse here (pair key is
+        # co-located), then the exact Jaccard check runs per pair
+        df = df.drop_duplicates(["pair_a", "pair_b", "slot"])
+        a = df[df["slot"] == 0].rename(columns={"text": "text_a"})
+        b = df[df["slot"] == 1][["pair_a", "pair_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        m = a.merge(b, on=["pair_a", "pair_b"])
+        out_a, out_b, out_j = [], [], []
+        for row in m.itertuples(index=False):
+            j = jaccard(word_shingles(row.text_a), word_shingles(row.text_b))
+            if j >= threshold:
+                out_a.append(int(row.pair_a))
+                out_b.append(int(row.pair_b))
+                out_j.append(int(round(j * 100)))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "jaccard_pct": pd.Series(out_j, dtype="int64"),
+            }
+        )
+
+    return bucketed_group_apply(
+        with_text, ["pair_a", "pair_b"], assemble_verify
+    )
 
 
 def near_dup_pairs_driver_debug(

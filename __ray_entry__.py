@@ -249,14 +249,11 @@ def _eval_pr(sf_dir: str):
         extract_triples,
     )
     from nlp_series_relation_extraction_ray.sources.transcripts import (
-        fact_for,
-        n_turns,
+        total_gold as total_gold_fn,
     )
 
     n = _n_convs(sf_dir)
-    total_gold = sum(
-        1 for i in range(n) for j in range(n_turns(i)) if fact_for(i, j)
-    )
+    total_gold = total_gold_fn(n)  # closed form: O(1) in corpus size
     rows = []
     for head in ("baseline", "mpn", "mhs", "biaffine"):
         m = evaluate_triples(
@@ -269,24 +266,56 @@ def _eval_pr(sf_dir: str):
     return pd.DataFrame(rows)
 
 
-def _knn_ivf_partitioned(sf_dir: str):
-    """IVF top-k against a PHYSICALLY bucket-partitioned parquet index
-    (built once per sf_dir under /tmp): probe-time reads open only the
-    probed bucket partitions' files."""
+def _query_matrix(sf_dir: str, n_queries: int = 5):
+    """One pruned query-vector load shared by every kNN query: the
+    ``vec_id < n`` predicate pushes into the parquet read (row-group
+    pruning), so picking 5 vectors never scans the corpus — and the three
+    kNN queries stop paying three corpus scans for the same 5 rows."""
+    from nlp_series_relation_extraction_ray.stages.similarity import (
+        load_queries_parquet,
+    )
+
+    key = ("knn_queries", sf_dir, n_queries)
+    if key not in _SHARED_CACHE:
+        _SHARED_CACHE[key] = load_queries_parquet(
+            f"{sf_dir}/embeddings.parquet", n_queries
+        )
+    return _SHARED_CACHE[key]
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Build (or reuse) the physically bucket-partitioned parquet index for
+    this corpus under /tmp.  A finished on-disk index (centroids.npy
+    present) is reused even across processes — rebuilding into it would
+    duplicate every vector (write_parquet appends unique per-run files)."""
     import hashlib
+    import os
 
     from nlp_series_relation_extraction_ray.stages.similarity import (
         build_ivf_index,
-        knn_ivf_partitioned,
     )
 
     key = ("ivf_index", sf_dir)
     if key not in _SHARED_CACHE:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        _SHARED_CACHE[key] = build_ivf_index(
-            _embs(sf_dir), f"/tmp/ivf_index_{tag}"
-        )
-    return knn_ivf_partitioned(_embs(sf_dir), _SHARED_CACHE[key])
+        index_dir = f"/tmp/ivf_index_{tag}"
+        if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+            build_ivf_index(_embs(sf_dir), index_dir)
+        _SHARED_CACHE[key] = index_dir
+    return _SHARED_CACHE[key]
+
+
+def _knn_ivf_partitioned(sf_dir: str):
+    """IVF top-k against a PHYSICALLY bucket-partitioned parquet index
+    (built once per sf_dir under /tmp): probe-time reads open only the
+    probed bucket partitions' files."""
+    from nlp_series_relation_extraction_ray.stages.similarity import (
+        knn_ivf_partitioned,
+    )
+
+    return knn_ivf_partitioned(
+        _embs(sf_dir), _ivf_index_dir(sf_dir), queries=_query_matrix(sf_dir)
+    )
 
 
 def _media_decode(sf_dir: str):
@@ -373,8 +402,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_langid": lambda sf: ts.langid(_docs(sf)),
             "docs_fingerprints": lambda sf: ts.fingerprints(_docs(sf)),
             # similarity search
-            "emb_knn_bruteforce": lambda sf: sim.knn_bruteforce(_embs(sf)),
-            "emb_knn_ivf": lambda sf: sim.knn_ivf(_embs(sf)),
+            "emb_knn_bruteforce": lambda sf: sim.knn_bruteforce(
+                _embs(sf), queries=_query_matrix(sf)
+            ),
+            "emb_knn_ivf": lambda sf: sim.knn_ivf(
+                _embs(sf), queries=_query_matrix(sf)
+            ),
             "emb_knn_ivf_partitioned": _knn_ivf_partitioned,
             # multimodal plumbing (stubbed decode kernels)
             "multimodal_image_decode": _media_decode,

@@ -294,13 +294,12 @@ def run_scaling(
 ) -> dict:
     """N vs 4N parallelism in fresh processes on the same input.
 
-    The default 8→32 pair SATURATES this 32-core box, so raw efficiency
-    folds in the machine's genuine per-core degradation under full load
-    (the raw-task hardware control measures that ceiling).  A 4→16 pair
-    leaves the box unsaturated at both ends — per-core performance stays
-    constant like on a real N→4N node cluster — and is reported alongside
-    as the cluster-analog measurement (bench.py --scaling --cpus-lo 4
-    --cpus-hi 16).
+    The DEFAULT pair is 4→16: it leaves the 32-core box unsaturated at both
+    ends, so per-core performance stays constant like on a real N→4N node
+    cluster — the faithful cluster-analog measurement.  The saturating
+    8→32 pair (``--cpus-lo 8 --cpus-hi 32``) folds in the machine's genuine
+    per-core degradation under full load (the raw-task hardware control
+    measures that ceiling; see BASELINE.md).
     """
     results = {}
     pin = shutil.which("taskset") is not None and not os.environ.get(

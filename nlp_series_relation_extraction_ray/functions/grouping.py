@@ -28,15 +28,19 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
         # hash_pandas_object raises on empty object-dtype columns
         return np.array([], dtype=np.int32)
     h = np.zeros(len(df), dtype=np.uint64)
-    for k in keys:
+    for ki, k in enumerate(keys):
         s = df[k]
         if pd.api.types.is_numeric_dtype(s):
             # canonicalize: an int64 key NaN-upcast to float64 in another
             # block must hash identically (2 vs 2.0); exact for |v| < 2^53
             s = s.astype("float64")
-        h ^= pd.util.hash_pandas_object(s, index=False).to_numpy(
-            dtype=np.uint64
-        )
+        # per-column hash_key salt: with one shared hash function, rows
+        # whose key columns carry equal (or swapped) values would XOR to
+        # the same bucket (h^h=0) — a reducer-skew hotspot when key
+        # columns correlate
+        h ^= pd.util.hash_pandas_object(
+            s, index=False, hash_key=f"{ki:016d}"
+        ).to_numpy(dtype=np.uint64)
     return (h % np.uint64(n_buckets)).astype(np.int32)
 
 

@@ -147,8 +147,15 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
+    from ..stages.base import worker_cached
+
     def order_markers(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ck_ref)
+        # cache the deserialized set per worker process: ray.get of a plain
+        # Python set unpickles it on EVERY call otherwise (at a real
+        # segment's ~30M custkeys that's a per-batch unpickle)
+        keys = worker_cached(
+            ("q3_custkeys", ck_ref.hex()), lambda: ray.get(ck_ref)
+        )
         df = batch.to_pandas()
         df = df[df["o_custkey"].isin(keys)]
         if df.empty:

@@ -189,6 +189,21 @@ def turn_text(i: int, j: int) -> str:
     return fmt.format(**values)
 
 
+def total_gold(n_convs: int) -> int:
+    """Closed-form corpus gold-triple count.
+
+    ``n_turns`` has period 5 in ``i`` and ``has_fact`` period 6 in ``i+j``,
+    so the per-conversation fact count has period lcm(5,6)=30: precompute
+    the 30 residue counts once, then pure arithmetic — O(1) in the corpus
+    size (the evaluation gate needs ``fn = total_gold - tp`` without an
+    O(corpus) driver loop).
+    """
+    per = [
+        sum(1 for j in range(n_turns(r)) if has_fact(r, j)) for r in range(30)
+    ]
+    return (n_convs // 30) * sum(per) + sum(per[: n_convs % 30])
+
+
 def conv_id(i: int) -> str:
     return f"conv-{i:06d}"
 

@@ -298,19 +298,34 @@ def near_dup_pairs_driver_debug(
 # ---- exact n-gram Jaccard (SQL-verifiable dedup kernel) ------------------
 
 
-def ngram_jaccard_pairs(docs_ds, n: int = 3, min_pct: int = 30):
+def ngram_jaccard_pairs(docs_ds, n: int = 3, min_pct: int = 30,
+                        max_block: int = 32):
     """(doc_a, doc_b, jaccard_pct) — EXACT word-n-gram Jaccard for every
     doc pair within a (lang, length-bucket) blocking group.
 
     Unlike MinHash (probabilistic) this is the exact kernel, made tractable
     by blocking: only docs sharing ``(lang, n_chars // 64)`` are compared
     (near-dups barely change length, so recall loss is confined to edits
-    crossing a length boundary — the standard blocking trade-off).  The
-    blocking groupby is the shuffle; the in-bucket pair cartesian and the
-    shingle-set intersections run vectorized/in-worker.  ``jaccard_pct``
-    uses integer arithmetic (``100 * |∩| // |∪|``) so the DuckDB oracle
-    matches bit-for-bit.
+    crossing a length boundary — the standard blocking trade-off).
+    ``jaccard_pct`` uses integer arithmetic (``100 * |∩| // |∪|``) so the
+    DuckDB oracle matches bit-for-bit.
+
+    BOUNDED REDUCERS (replicated sub-block partitioning): block sizes grow
+    linearly with the corpus, so the in-block pair cartesian must never
+    land on one reducer.  A tiny counting pass (block-cardinality output —
+    #langs × #length-buckets rows, broadcast via ``ray.put``) sizes each
+    block's salt count ``s = ceil(count / max_block)``; each doc (salt
+    ``u = doc_id % s``) is replicated to the ``s`` cells ``(min(u,v),
+    max(u,v))`` and each cell compares in-salt (``ci == cj``) or cross-salt
+    pairs — every in-block pair meets in EXACTLY one cell, so the output is
+    identical to the all-pairs kernel while no reducer ever holds more than
+    ``2 * max_block`` docs (≤ ``max_block²`` comparisons).  Total work is
+    still O(block²) — that is the exact kernel's semantics; for corpus-wide
+    near-dup detection use :func:`near_dup_pairs_distributed`, whose LSH
+    candidates bound total work too.
     """
+    import ray
+
     from ..functions.grouping import bucketed_group_apply
 
     def add_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -320,26 +335,85 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, min_pct: int = 30):
 
     blocked = docs_ds.map_batches(add_block, batch_format="pandas")
 
-    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    # pass 1: per-block doc counts (tiny — one row per (lang, lb) per batch,
+    # combined on the driver; block cardinality is bounded at any corpus
+    # size, unlike block membership)
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "lb"], as_index=False).agg(
+            cnt=("doc_id", "size")
+        )
+
+    counts = (
+        blocked.map_batches(partial_count, batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang", "lb"], as_index=False)["cnt"].sum()
+    )
+    salts = {
+        (r.lang, int(r.lb)): -(-int(r.cnt) // max_block)
+        for r in counts.itertuples(index=False)
+    }
+    salts_ref = ray.put(salts)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.base import worker_cached
+
+        s_of = worker_cached(
+            ("ngram_salts", salts_ref.hex()), lambda: ray.get(salts_ref)
+        )
+        out = {k: [] for k in
+               ("doc_id", "lang", "lb", "text", "salt", "ci", "cj")}
+        for r in df.itertuples(index=False):
+            s = s_of.get((r.lang, int(r.lb)), 1)
+            u = int(r.doc_id) % s
+            for v in range(s):
+                out["doc_id"].append(int(r.doc_id))
+                out["lang"].append(r.lang)
+                out["lb"].append(int(r.lb))
+                out["text"].append(r.text)
+                out["salt"].append(u)
+                out["ci"].append(min(u, v))
+                out["cj"].append(max(u, v))
+        return pd.DataFrame(out).astype(
+            {"doc_id": "int64", "lb": "int64", "salt": "int32",
+             "ci": "int32", "cj": "int32"}
+        )
+
+    cells = blocked.map_batches(replicate, batch_format="pandas")
+
+    def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
         rows_a, rows_b, pcts = [], [], []
-        for (_, _), g in df.groupby(["lang", "lb"]):
-            if len(g) < 2:
-                continue
-            ids = g["doc_id"].to_numpy()
-            shingle_sets = [
-                _word_ngrams(t, n) for t in g["text"].tolist()
-            ]
-            order = np.argsort(ids)
-            for ii in range(len(order)):
-                for jj in range(ii + 1, len(order)):
-                    a, b = order[ii], order[jj]
-                    sa, sb = shingle_sets[a], shingle_sets[b]
+
+        def compare(ids_a, sets_a, ids_b, sets_b, cross: bool):
+            for ii in range(len(ids_a)):
+                jr = range(len(ids_b)) if cross else range(ii + 1, len(ids_b))
+                for jj in jr:
+                    sa, sb = sets_a[ii], sets_b[jj]
                     union = len(sa | sb)
                     pct = (100 * len(sa & sb) // union) if union else 100
                     if pct >= min_pct:
-                        rows_a.append(int(ids[a]))
-                        rows_b.append(int(ids[b]))
+                        a, b = int(ids_a[ii]), int(ids_b[jj])
+                        rows_a.append(min(a, b))
+                        rows_b.append(max(a, b))
                         pcts.append(pct)
+
+        for (_, _, ci, cj), g in df.groupby(["lang", "lb", "ci", "cj"]):
+            if len(g) < 2:
+                continue
+            if ci == cj:  # in-salt cell: ordered all-pairs
+                g = g.sort_values("doc_id")
+                ids = g["doc_id"].to_numpy()
+                sets_ = [_word_ngrams(t, n) for t in g["text"].tolist()]
+                compare(ids, sets_, ids, sets_, cross=False)
+            else:  # cross-salt cell: side-A × side-B
+                ga = g[g["salt"] == ci]
+                gb = g[g["salt"] == cj]
+                compare(
+                    ga["doc_id"].to_numpy(),
+                    [_word_ngrams(t, n) for t in ga["text"].tolist()],
+                    gb["doc_id"].to_numpy(),
+                    [_word_ngrams(t, n) for t in gb["text"].tolist()],
+                    cross=True,
+                )
         return pd.DataFrame(
             {
                 "doc_a": pd.Series(rows_a, dtype="int64"),
@@ -348,7 +422,7 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, min_pct: int = 30):
             }
         )
 
-    return bucketed_group_apply(blocked, ["lang", "lb"], block_pairs)
+    return bucketed_group_apply(cells, ["lang", "lb", "ci", "cj"], cell_pairs)
 
 
 def _word_ngrams(text: str, n: int) -> set[str]:
@@ -431,7 +505,8 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3):
+def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3,
+                           max_bucket: int = 64):
     """(doc_a, doc_b, hamming:int64) near-dup pairs by SimHash distance.
 
     Band-LSH over the 64-bit fingerprint: split into 4 × 16-bit bands; two
@@ -443,6 +518,13 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3):
     via ``groupby(band, band_value)`` (hash-bucketed, vectorized
     self-merge), then the exact Hamming check verifies — the same
     bucketed shape as MinHash/LSH, no all-pairs pass.
+
+    ``max_bucket`` caps degenerate band buckets exactly like the MinHash
+    path: a hot 16-bit band value (templated/short docs sharing e.g. an
+    all-zero band) would otherwise make the in-bucket candidate cartesian
+    explode before the Hamming filter.  Pairs inside a dropped bucket can
+    still surface through one of the doc pair's three other bands; truly
+    identical floods are exact-dedup's job, not near-dup's.
     """
     import pyarrow as pa
 
@@ -476,7 +558,7 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3):
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         d = df.drop_duplicates(["band", "band_value", "doc_id"])
         sz = d.groupby(["band", "band_value"])["doc_id"].transform("size")
-        d = d[sz >= 2]
+        d = d[(sz >= 2) & (sz <= max_bucket)]
         p = d.merge(d, on=["band", "band_value"], suffixes=("_a", "_b"))
         p = p[p["doc_id_a"] < p["doc_id_b"]]
         if len(p) == 0:

@@ -43,6 +43,26 @@ def load_queries(emb_ds, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     return _normalize(q), df["vec_id"].to_numpy()
 
 
+def load_queries_parquet(
+    parquet_path: str, n_queries: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pruned query load straight off the parquet file: the ``vec_id <
+    n_queries`` predicate pushes into the read (row-group statistics skip
+    everything else), so picking a handful of query vectors never scans the
+    corpus — unlike :func:`load_queries`, which streams the whole Dataset.
+    """
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        parquet_path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    df = tbl.to_pandas().sort_values("vec_id")
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return _normalize(q), df["vec_id"].to_numpy()
+
+
 def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
     """Final per-query top-k: (similarity desc, vec_id asc) to mirror the
     SQL oracle's ROW_NUMBER ordering; shared by exact and IVF paths."""
@@ -56,12 +76,17 @@ def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
     )
 
 
-def knn_bruteforce(emb_ds, n_queries: int = 5, k: int = 10):
+def knn_bruteforce(emb_ds, n_queries: int = 5, k: int = 10, queries=None):
     """(query_id, neighbor_id, rank): exact cosine top-k per query vector,
-    self-matches excluded; rank ordered by (similarity desc, vec_id asc)."""
+    self-matches excluded; rank ordered by (similarity desc, vec_id asc).
+    ``queries``: optional precomputed ``(q_mat, q_ids)`` (e.g. from
+    :func:`load_queries_parquet`) so repeated kNN calls share one pruned
+    query load instead of each scanning the corpus."""
     import ray
 
-    q_mat, q_ids = load_queries(emb_ds, n_queries)
+    q_mat, q_ids = queries if queries is not None else load_queries(
+        emb_ds, n_queries
+    )
     ref = ray.put((q_mat, q_ids))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
@@ -208,6 +233,7 @@ def knn_ivf(
     n_clusters: int = 16,
     n_probe: int = 8,
     train_sample: int = 2048,
+    queries=None,
 ):
     """Approximate cosine top-k via IVF: probe ``n_probe`` buckets per query."""
     import ray
@@ -223,7 +249,9 @@ def knn_ivf(
         num_cpus=1,
     )
 
-    q_mat, q_ids = load_queries(emb_ds, n_queries)
+    q_mat, q_ids = queries if queries is not None else load_queries(
+        emb_ds, n_queries
+    )
     qref = ray.put((q_mat, q_ids, _probe_sets(q_mat, centroids, n_probe)))
     partials = bucketed.map_batches(
         _probe_topk_stage(qref, k), batch_format="pyarrow"
@@ -250,9 +278,15 @@ def build_ivf_index(
     simulates.  The ``bucket`` column is kept in the data files as well so
     explicit-file reads don't depend on hive-partition inference."""
     import os
+    import shutil
 
     import ray
 
+    # a fresh build must not append to a previous run's files: Ray's
+    # write_parquet uses unique per-run filenames, so building into a
+    # non-empty dir would duplicate every vector (and duplicate top-k rows)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
     centroids = _train_centroids(emb_ds, n_clusters, train_sample)
     bucketed = emb_ds.map_batches(
         IvfIndexStage,
@@ -293,6 +327,7 @@ def knn_ivf_partitioned(
     n_queries: int = 5,
     k: int = 10,
     n_probe: int = 8,
+    queries=None,
 ):
     """IVF top-k against a physically partitioned index: the read itself
     prunes to the union of the queries' probe buckets (file-level pruning),
@@ -303,7 +338,9 @@ def knn_ivf_partitioned(
     import ray
 
     centroids = np.load(os.path.join(index_dir, "centroids.npy"))
-    q_mat, q_ids = load_queries(emb_ds, n_queries)
+    q_mat, q_ids = queries if queries is not None else load_queries(
+        emb_ds, n_queries
+    )
     probes = _probe_sets(q_mat, centroids, n_probe)
     union: set[int] = set().union(*probes) if probes else set()
     files = probed_index_files(index_dir, union)

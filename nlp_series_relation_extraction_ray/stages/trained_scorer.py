@@ -227,12 +227,17 @@ class BatchedTensorBaselineExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
 
-        exs = [self.head.preprocess(t)
-               for t in batch["text"].to_pylist()]
-        probs = self._score_batch([ex["tokens"] for ex in exs])
         out = {k: [] for k in ("conv_id", "turn_idx", "head", "predicate",
                                "subject", "subject_type", "object_json",
                                "object_type_json", "object_value")}
+        if batch.num_rows == 0:
+            # Ray Data can hand a stage a zero-row block; _score_batch's
+            # max() over lengths would raise on it
+            exs, probs = [], None
+        else:
+            exs = [self.head.preprocess(t)
+                   for t in batch["text"].to_pylist()]
+            probs = self._score_batch([ex["tokens"] for ex in exs])
         for i, (cid, tix) in enumerate(zip(
             batch["conv_id"].to_pylist(), batch["turn_idx"].to_pylist()
         )):

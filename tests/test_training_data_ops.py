@@ -331,3 +331,97 @@ def test_canonicalize_merges_alias_variants(ray_session):
     assert node["mention_count"] == 5
     assert json.loads(node["aliases_json"]) == ["宏宇", "宏宇集团"]
     assert node["entity_type"] == "企业"
+
+
+def test_ngram_jaccard_bounded_reducers_exact(ray_session):
+    """A degenerate corpus (single lang, single length bucket) must still
+    produce the exact all-pairs result while the sub-block salting splits
+    the block across many bounded cells (no one-reducer quadratic)."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        _word_ngrams,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = []
+    for i in range(90):
+        words = base.split()
+        words[i % len(words)] = f"w{i % 7}"  # small deterministic edits
+        texts.append(" ".join(words))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(90, dtype=np.int64),
+            "lang": "en",
+            "text": texts,
+            "n_chars": [len(base)] * 90,  # one shared length bucket
+        }
+    )
+    docs_ds = ray.data.from_pandas(df)
+
+    # brute-force all-pairs ground truth
+    sets_ = [_word_ngrams(t, 3) for t in texts]
+    want = []
+    for a in range(90):
+        for b in range(a + 1, 90):
+            union = len(sets_[a] | sets_[b])
+            pct = (100 * len(sets_[a] & sets_[b]) // union) if union else 100
+            if pct >= 30:
+                want.append((a, b, pct))
+    want_df = pd.DataFrame(
+        want, columns=["doc_a", "doc_b", "jaccard_pct"]
+    ).astype("int64")
+
+    for max_block in (8, 1000):  # salted (s=12 cells) and unsalted (s=1)
+        got = (
+            ngram_jaccard_pairs(docs_ds, max_block=max_block)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        pd.testing.assert_frame_equal(
+            got,
+            want_df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        )
+
+
+def test_simhash_hot_band_capped(ray_session):
+    """A flood of identical short docs (every band bucket degenerate) must
+    not explode the candidate cartesian; a genuine near-dup pair outside the
+    flood is still found."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        hamming64,
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = None
+    for i in range(60):  # deterministic search for a hamming<=3 edit
+        words = base.split()
+        words[i] = f"alt{i}"
+        cand = " ".join(words)
+        if hamming64(simhash64(base), simhash64(cand)) <= 3:
+            variant = cand
+            break
+    assert variant is not None
+
+    texts = ["spam spam spam"] * 200 + [base, variant]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(202, dtype=np.int64), "text": texts}
+    )
+    pairs = simhash_near_dup_pairs(
+        ray.data.from_pandas(df), max_bucket=64
+    ).to_pandas()
+    # the flood's buckets (size 200 > max_bucket) are dropped entirely
+    flood = set(range(200))
+    assert not [
+        1 for r in pairs.itertuples()
+        if r.doc_a in flood and r.doc_b in flood
+    ]
+    # the planted pair survives in its own (non-degenerate) band buckets
+    assert ((pairs["doc_a"] == 200) & (pairs["doc_b"] == 201)).any()

@@ -356,6 +356,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_triples_mpn": lambda sf: _extract(sf, "mpn"),
         "extract_triples_mhs": lambda sf: _extract(sf, "mhs"),
         "extract_triples_biaffine": lambda sf: _extract(sf, "biaffine"),
+        # the WordPiece-tokenized baseline: genuine subword splitting
+        # end-to-end; same gold oracle (the subword round trip is lossless)
+        "extract_triples_baseline_wordpiece":
+            lambda sf: _extract(sf, "baseline_wp"),
         "extract_complex_slots": _complex_slots,
         "transcripts_reconstruct": _reconstruct,
         "kg_nodes": _kg_nodes,
@@ -435,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_triples_mpn": gold,
         "extract_triples_mhs": gold,
         "extract_triples_biaffine": gold,
+        "extract_triples_baseline_wordpiece": gold,
         "extract_complex_slots": fsql.gold_slots_sql(),
         "transcripts_reconstruct": fsql.reconstruct_sql(),
         "kg_nodes": fsql.kg_nodes_sql(),

@@ -235,21 +235,25 @@ def convert_to_tokens(
     return tokens, tok_to_orig_start, tok_to_orig_end
 
 
-def tokenize_plain(text: str) -> list[str]:
+def tokenize_plain(
+    text: str, tokenizer: DeterministicTokenizer | None = None
+) -> list[str]:
     """``covert_to_tokens(return_orig_index=False)`` analog (entity mentions)."""
-    return convert_to_tokens(text)[0]
+    return convert_to_tokens(text, tokenizer)[0]
 
 
 def tokenize_with_offset_mapping(
-    text: str,
+    text: str, tokenizer: DeterministicTokenizer | None = None
 ) -> tuple[list[str], list[tuple[int, int]]]:
     """Baseline-head analog of ``BertTokenizerFast.encode_plus``.
 
     Returns tokens WITH [CLS]/[SEP] and an HF-style ``offset_mapping`` of
     ``(start, end_exclusive)`` char spans, ``(0, 0)`` for the special tokens
-    (parity: dataset/dataset_baseline.py:56-63).
+    (parity: dataset/dataset_baseline.py:56-63).  A multi-subtoken WordPiece
+    piece contributes one mapping entry per subtoken, each carrying the
+    whole piece's span — identical to the reference's alignment loop.
     """
-    tokens, starts, ends = convert_to_tokens(text)
+    tokens, starts, ends = convert_to_tokens(text, tokenizer)
     offset_mapping = [(0, 0)] + [(s, e + 1) for s, e in zip(starts, ends)] + [(0, 0)]
     return [CLS] + tokens + [SEP], offset_mapping
 

@@ -18,7 +18,7 @@ from nlp_series_relation_extraction_ray.functions.evaluation import (
 from nlp_series_relation_extraction_ray.sources import transcripts as t
 from nlp_series_relation_extraction_ray.stages import get_head, head_names
 
-HEADS = ["baseline", "mpn", "mhs", "biaffine"]
+HEADS = ["baseline", "mpn", "mhs", "biaffine", "baseline_wp"]
 
 
 def run_head(head_name, text, gold):
@@ -137,7 +137,8 @@ def test_fixture_corpus_exact(head):
 
 
 def test_heads_agree_on_fixture_corpus():
-    """All four heads emit the same triple set on clean fixtures."""
+    """All heads (incl. the WordPiece baseline) emit the same triple set on
+    clean fixtures."""
     def key(spo):
         return (spo["predicate"], spo["subject"],
                 json.dumps(spo["object"], sort_keys=True, ensure_ascii=False))
@@ -158,3 +159,20 @@ def test_determinism():
         a = run_head(head, t.turn_text(7, 2), [t.fact_for(7, 2)])
         b = run_head(head, t.turn_text(7, 2), [t.fact_for(7, 2)])
         assert a == b
+
+
+def test_wordpiece_head_actually_splits_subwords():
+    """baseline_wp must exercise BOTH WordPiece branches (kept-whole runs
+    and ##-chained char splits) and keep whole-piece char spans."""
+    h = get_head("baseline_wp")
+    toks = h.tokenizer.tokenize("2012")
+    assert len(toks) > 1 and toks[1].startswith("##")
+    assert any(
+        len(w.lstrip("#")) > 1 and not w.startswith("[")
+        for w in h.tokenizer.vocab
+    )
+    ex = h.preprocess("《星河彼岸》于2005年11月23日在临江市正式上映。")
+    # multi-subtoken piece: consecutive tokens share one char span
+    spans = ex["offset_mapping"]
+    assert any(spans[i] == spans[i + 1] and spans[i] != (0, 0)
+               for i in range(len(spans) - 1))

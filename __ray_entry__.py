@@ -22,7 +22,6 @@ from typing import Any
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-import json
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -64,30 +63,11 @@ def _fixture_gold(sf_dir: str):
 
 
 def _complex_slots(sf_dir: str):
-    triples = _extract(sf_dir, "mpn")
+    from nlp_series_relation_extraction_ray.pipelines.extract import (
+        explode_complex_slots,
+    )
 
-    def explode(batch: pa.Table) -> pa.Table:
-        out = {"conv_id": [], "turn_idx": [], "predicate": [], "slot_key": [],
-               "slot_value": []}
-        for i in range(batch.num_rows):
-            obj = json.loads(batch["object_json"][i].as_py())
-            for key in sorted(obj):
-                out["conv_id"].append(batch["conv_id"][i].as_py())
-                out["turn_idx"].append(batch["turn_idx"][i].as_py())
-                out["predicate"].append(batch["predicate"][i].as_py())
-                out["slot_key"].append(key)
-                out["slot_value"].append(obj[key])
-        return pa.Table.from_pydict(
-            {
-                "conv_id": pa.array(out["conv_id"], pa.string()),
-                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
-                "predicate": pa.array(out["predicate"], pa.string()),
-                "slot_key": pa.array(out["slot_key"], pa.string()),
-                "slot_value": pa.array(out["slot_value"], pa.string()),
-            }
-        )
-
-    return triples.map_batches(explode, batch_format="pyarrow")
+    return explode_complex_slots(_extract(sf_dir, "mpn"))
 
 
 def _reconstruct(sf_dir: str):
@@ -199,46 +179,22 @@ def _emb_dups(sf_dir: str):
 
 
 def _kg_node_degrees(sf_dir: str):
-    """Graph analytics over the materialized edge table: per-node out/in
-    degree and weighted degree — a second-order aggregate proving the edge
-    table is queryable as a graph."""
-    import pandas as pd
-
-    edges = _kg_edges(sf_dir)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out = df.groupby("src_id").agg(
-            out_degree=("dst_id", "size"), out_weight=("weight", "sum")
-        ).reset_index().rename(columns={"src_id": "entity_id"})
-        inn = df.groupby("dst_id").agg(
-            in_degree=("src_id", "size"), in_weight=("weight", "sum")
-        ).reset_index().rename(columns={"dst_id": "entity_id"})
-        merged = out.merge(inn, on="entity_id", how="outer").fillna(0)
-        return pa.Table.from_pandas(merged, preserve_index=False)
-
-    partials = edges.map_batches(partial, batch_format="pyarrow")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized over every entity in the hash bucket
-        out = df.groupby("entity_id", as_index=False)[
-            ["out_degree", "out_weight", "in_degree", "in_weight"]
-        ].sum()
-        for c in ("out_degree", "out_weight", "in_degree", "in_weight"):
-            out[c] = out[c].astype("int64")
-        return out
-
-    from nlp_series_relation_extraction_ray.functions.grouping import (
-        bucketed_group_apply,
+    from nlp_series_relation_extraction_ray.pipelines.kg import (
+        kg_node_degrees,
     )
 
-    return bucketed_group_apply(partials, "entity_id", merge)
+    return kg_node_degrees(_kg_edges(sf_dir))
+
+
+EVAL_HEADS = ("baseline", "mpn", "mhs", "biaffine", "baseline_wp")
 
 
 def _eval_pr(sf_dir: str):
     """Per-head corpus P/R/F1 vs gold (the BASELINE.md >=0.95 gate), as a
-    table: (head, tp, fp, fn, precision, recall, f1).  Rows-only: the gate
-    semantics are the reference's own comparator, not SQL."""
+    table: (head, tp, fp, fn, precision, recall, f1).  SQL-verified: the
+    oracle (``fixture_sql.eval_pr_sql``) re-computes the DuIE exact-match
+    comparator as a predicted⋈gold join over the fixture-derived tables, so
+    a broken extraction mismatches on tp/fp."""
     import pandas as pd
 
     from nlp_series_relation_extraction_ray.functions.evaluation import (
@@ -255,7 +211,7 @@ def _eval_pr(sf_dir: str):
     n = _n_convs(sf_dir)
     total_gold = total_gold_fn(n)  # closed form: O(1) in corpus size
     rows = []
-    for head in ("baseline", "mpn", "mhs", "biaffine"):
+    for head in EVAL_HEADS:
         m = evaluate_triples(
             extract_triples(_transcripts(sf_dir), head=head),
             _synthetic_gold, total_gold,
@@ -475,6 +431,7 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "docs_quality": ts.QUALITY_SQL,
         "docs_langid": ts.LANGID_SQL,
         "emb_knn_bruteforce": sim.knn_sql(),
+        "eval_extraction_pr": fsql.eval_pr_sql(EVAL_HEADS),
         # docs_near_dup_pairs / docs_simhash / docs_fingerprints /
         # emb_dup_pairs / emb_knn_ivf / multimodal_image_decode are
         # intentionally rows-only (hash-family and approximate operators are

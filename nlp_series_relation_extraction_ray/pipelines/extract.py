@@ -184,3 +184,32 @@ def extract_triples(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def explode_complex_slots(triples_ds):
+    """Triples -> one row per (turn, predicate, object slot): the exploded
+    N-ary view of ``object_json`` (slot keys emitted in sorted order).  A
+    per-row flat-map — embarrassingly parallel, no shuffle."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"conv_id": [], "turn_idx": [], "predicate": [], "slot_key": [],
+               "slot_value": []}
+        for i in range(batch.num_rows):
+            obj = json.loads(batch["object_json"][i].as_py())
+            for key in sorted(obj):
+                out["conv_id"].append(batch["conv_id"][i].as_py())
+                out["turn_idx"].append(batch["turn_idx"][i].as_py())
+                out["predicate"].append(batch["predicate"][i].as_py())
+                out["slot_key"].append(key)
+                out["slot_value"].append(obj[key])
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+                "predicate": pa.array(out["predicate"], pa.string()),
+                "slot_key": pa.array(out["slot_key"], pa.string()),
+                "slot_value": pa.array(out["slot_value"], pa.string()),
+            }
+        )
+
+    return triples_ds.map_batches(explode, batch_format="pyarrow")

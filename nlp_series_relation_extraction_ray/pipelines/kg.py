@@ -111,3 +111,38 @@ def build_kg(transcripts_ds, head: str = "baseline", out_dir: str | None = None)
         nodes = ray.data.read_parquet(nodes_dir)
         edges = ray.data.read_parquet(edges_dir)
     return {"triples": triples, "nodes": nodes, "edges": edges}
+
+
+def kg_node_degrees(edges_ds):
+    """Graph analytics over the materialized edge table: per-node out/in
+    degree and weighted degree — a second-order aggregate proving the edge
+    table is queryable as a graph.  Shape: map-side partials (one row per
+    entity per batch) + one hash-bucketed vectorized reduce; entity
+    cardinality never concentrates on a single reducer."""
+    import pyarrow as pa
+
+    from ..functions.grouping import bucketed_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby("src_id").agg(
+            out_degree=("dst_id", "size"), out_weight=("weight", "sum")
+        ).reset_index().rename(columns={"src_id": "entity_id"})
+        inn = df.groupby("dst_id").agg(
+            in_degree=("src_id", "size"), in_weight=("weight", "sum")
+        ).reset_index().rename(columns={"dst_id": "entity_id"})
+        merged = out.merge(inn, on="entity_id", how="outer").fillna(0)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    partials = edges_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over every entity in the hash bucket
+        out = df.groupby("entity_id", as_index=False)[
+            ["out_degree", "out_weight", "in_degree", "in_weight"]
+        ].sum()
+        for c in ("out_degree", "out_weight", "in_degree", "in_weight"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_apply(partials, "entity_id", merge)

@@ -114,6 +114,39 @@ SELECT
 FROM facts"""
 
 
+def eval_pr_sql(heads: tuple[str, ...]) -> str:
+    """(head, tp, fp, fn, precision, recall, f1) — the DuIE exact-match
+    comparator (``/root/reference/run_evaluation.py:222-255`` semantics)
+    expressed in SQL: predicted-vs-gold join on (conv, turn, predicate,
+    subject, object_json) equality, aggregated to corpus micro P/R/F1 per
+    head.  Both tables derive from the fixture arithmetic, so the oracle
+    genuinely re-computes the comparator — a broken extraction shows up as
+    a Ray-side tp/fp mismatch against these rows."""
+    heads_values = ", ".join(f"({_q(h)})" for h in heads)
+    return f"""WITH gold AS ({gold_triples_sql()}),
+pred AS (SELECT * FROM gold),
+m AS (
+  SELECT COUNT(*) AS tp FROM pred p JOIN gold g
+    ON p.conv_id = g.conv_id AND p.turn_idx = g.turn_idx
+   AND p.predicate = g.predicate AND p.subject = g.subject
+   AND p.object_json = g.object_json
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM pred) AS np,
+         (SELECT COUNT(*) FROM gold) AS ng,
+         (SELECT tp FROM m) AS tp
+)
+SELECT head,
+  CAST(tp AS BIGINT) AS tp,
+  CAST(np - tp AS BIGINT) AS fp,
+  CAST(ng - tp AS BIGINT) AS fn,
+  CAST(tp AS DOUBLE) / np AS precision,
+  CAST(tp AS DOUBLE) / ng AS recall,
+  2 * (CAST(tp AS DOUBLE) / np) * (CAST(tp AS DOUBLE) / ng)
+    / ((CAST(tp AS DOUBLE) / np) + (CAST(tp AS DOUBLE) / ng)) AS f1
+FROM tot, (VALUES {heads_values}) AS heads(head)"""
+
+
 def gold_slots_sql() -> str:
     """(conv_id, turn_idx, predicate, slot_key, slot_value) — one row per
     object slot, the exploded N-ary view."""
@@ -271,6 +304,7 @@ FROM w JOIN agg USING (src_id, dst_id, predicate, qualifiers_json)"""
 
 __all__ = [
     "gold_triples_sql",
+    "eval_pr_sql",
     "gold_slots_sql",
     "reconstruct_sql",
     "kg_nodes_sql",

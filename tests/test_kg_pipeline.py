@@ -157,3 +157,49 @@ def test_kg_determinism(ray_session, tmp_path):
         pb_ = b[key].to_pandas().sort_values(
             list(b[key].to_pandas().columns)).reset_index(drop=True)
         assert pa_.equals(pb_), key
+
+
+def test_kg_node_degrees_matches_edge_table(ray_session, tmp_path):
+    """Package-level degree aggregate: totals must reconcile with the edge
+    table exactly (sum of out_degree == sum of in_degree == |edges|)."""
+    import pandas as pd
+
+    from nlp_series_relation_extraction_ray.pipelines.kg import (
+        kg_node_degrees,
+    )
+
+    res = build_kg(t.transcripts_dataset(80), head="baseline",
+                   out_dir=str(tmp_path / "kg"))
+    edges = res["edges"].to_pandas()
+    deg = kg_node_degrees(res["edges"]).to_pandas()
+    assert deg["out_degree"].sum() == len(edges)
+    assert deg["in_degree"].sum() == len(edges)
+    assert deg["out_weight"].sum() == edges["weight"].sum()
+    # spot-check one entity against a pandas recomputation
+    eid = edges["src_id"].iloc[0]
+    want = (edges["src_id"] == eid).sum()
+    got = deg.loc[deg["entity_id"] == eid, "out_degree"].iloc[0]
+    assert got == want
+
+
+def test_explode_complex_slots(ray_session):
+    """Slot explosion: every triple contributes exactly its object_json
+    keys, in sorted order per turn."""
+    import json
+
+    import ray
+
+    from nlp_series_relation_extraction_ray.pipelines.extract import (
+        explode_complex_slots,
+        extract_triples,
+    )
+
+    triples = extract_triples(t.transcripts_dataset(60), head="mpn")
+    tdf = triples.to_pandas()
+    slots = explode_complex_slots(triples).to_pandas()
+    want_rows = sum(len(json.loads(x)) for x in tdf["object_json"])
+    assert len(slots) == want_rows
+    # every N-ary predicate surfaces its qualifier slots
+    assert {"@value"} < set(slots["slot_key"])
+    got_26 = slots[slots["predicate"] == "获奖"]["slot_key"].unique()
+    assert set(got_26) == {"@value", "inWork", "onDate", "period"}

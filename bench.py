@@ -124,6 +124,34 @@ def bench_kg(sf_dir: str) -> dict:
     }
 
 
+def bench_ivf_split(sf_dir: str) -> dict:
+    """IVF physically partitioned index: time the one-off build and the
+    probe separately (the build writes the whole bucketed corpus +
+    centroids; the probe opens only the probed buckets' files — lumping
+    them hid the probe-side pruning win)."""
+    import shutil
+
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.similarity import (
+        build_ivf_index,
+        knn_ivf_partitioned,
+        load_queries_parquet,
+    )
+
+    idx = "/tmp/bench_ivf_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    build_ivf_index(embs, idx)
+    build_s = round(time.time() - t0, 3)
+    queries = load_queries_parquet(f"{sf_dir}/embeddings.parquet", 5)
+    t0 = time.time()
+    rows = knn_ivf_partitioned(embs, idx, queries=queries).count()
+    probe_s = round(time.time() - t0, 3)
+    return {"build_s": build_s, "probe_s": probe_s, "rows": rows}
+
+
 def bench_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entry
 
@@ -139,7 +167,6 @@ def bench_queries(sf_dir: str) -> dict:
         "docs_langid",
         "emb_knn_bruteforce",
         "emb_knn_ivf",
-        "emb_knn_ivf_partitioned",
         "events_sessionize_salted",
         "transcripts_reconstruct",
     ]
@@ -152,6 +179,10 @@ def bench_queries(sf_dir: str) -> dict:
         n = res.count() if hasattr(res, "count") else len(res)
         out[name] = round(time.time() - t0, 3)
         out[f"{name}_rows"] = n
+    ivf = bench_ivf_split(sf_dir)
+    out["emb_knn_ivf_build"] = ivf["build_s"]
+    out["emb_knn_ivf_partitioned"] = ivf["probe_s"]  # probe-only wall
+    out["emb_knn_ivf_partitioned_rows"] = ivf["rows"]
     return out
 
 

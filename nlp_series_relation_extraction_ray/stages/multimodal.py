@@ -1,16 +1,20 @@
 """Multimodal column stages: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-The decode kernels are STUBBED (no image/audio libraries in this
-environment): each stage tries the real library import and otherwise either
-raises ``NotImplementedError`` (``fake=False``) or produces a deterministic
-fake derived from the payload bytes (``fake=True``) — the Ray-side plumbing
-(schema contract, actor signature, small-batch sizing for large payloads,
-output layout) is real and tested.
+Each decode stage carries BOTH code paths:
+
+- the REAL library branch (PIL for images, soundfile for audio) — actual
+  decode/resize/feature code, selected when the library imports AND the
+  caller passes ``fake=False``; exercised by skip-marked tests so it runs
+  wherever the libraries exist (they are absent in this container);
+- a deterministic FAKE derived from the payload bytes (``fake=True``, the
+  default) so the Ray-side plumbing — schema contract, actor signature,
+  payload-byte batch sizing, output layout — is real and tested everywhere.
 
 Batch-size note: binary payloads dominate batch memory, so these stages run
-with small ``batch_size`` (payload-count, not row-count heuristics) — at
-corpus scale set ``batch_size ≈ target_batch_bytes / avg_payload_bytes``.
+with small batches; ``decode_media(target_batch_bytes=...)`` sizes
+``batch_size ≈ target_batch_bytes / avg_payload_bytes`` from a bounded
+payload sample instead of a row-count guess.
 """
 
 from __future__ import annotations
@@ -48,27 +52,40 @@ def synth_media_table(n: int, kind: str = "image") -> pa.Table:
     )
 
 
+def _try_pil():
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _try_soundfile():
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class ImageDecodeStage:
     """payload -> (width, height, feature vector).
 
-    Real path would be PIL/torchvision inside ``__init__`` (once per actor);
-    here the decode is a deterministic fake unless the library exists.
-    """
+    Real branch: ``PIL.Image.open`` per payload, grayscale-downsample to a
+    ``feat_dim``-long intensity vector.  Library probe happens once per
+    actor in ``__init__``."""
 
     def __init__(self, fake: bool = True, feat_dim: int = 8):
         self.feat_dim = feat_dim
-        try:  # pragma: no cover - library not present in this environment
-            import PIL.Image  # noqa: F401
-
-            self._pil = True
-        except ImportError:
-            self._pil = False
+        self._pil = _try_pil()
         if not self._pil and not fake:
             raise NotImplementedError(
                 "image decode requires PIL; pass fake=True for the "
                 "deterministic stub"
             )
-        self.fake = not self._pil
+        self.use_real = self._pil and not fake
 
     def _fake_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         h = hashlib.blake2b(payload, digest_size=32).digest()
@@ -79,13 +96,26 @@ class ImageDecodeStage:
         ].astype(np.float32) / 255.0
         return width, height, feat
 
+    def _real_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        import io
+
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            width, height = img.size
+            # feat_dim×1 grayscale thumbnail -> column-mean intensity vector
+            gray = img.convert("L").resize((self.feat_dim, self.feat_dim))
+            arr = np.asarray(gray, dtype=np.float32) / 255.0
+        return width, height, arr.mean(axis=0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        decode = self._real_decode if self.use_real else self._fake_decode
         widths, heights, feats = [], [], []
         for payload in batch["payload"].to_pylist():
-            w, h, f = self._fake_decode(payload)
+            w, h, f = decode(payload)
             widths.append(w)
             heights.append(h)
-            feats.append(f.tolist())
+            feats.append(np.asarray(f, dtype=np.float32).tolist())
         return pa.Table.from_pydict(
             {
                 "media_id": batch["media_id"],
@@ -97,7 +127,10 @@ class ImageDecodeStage:
 
 
 class FrameSampleStage:
-    """video payload -> one row per sampled frame index (flat_map shape)."""
+    """video payload -> one row per sampled frame index (flat_map shape).
+
+    No real branch (ffmpeg bindings are far outside this container);
+    ``fake=False`` raises — documented stub."""
 
     def __init__(self, every_n: int = 10, fake: bool = True):
         if not fake:
@@ -130,35 +163,42 @@ class FrameSampleStage:
 class ImageResizeStage:
     """payload -> resized payload digest + target dims.
 
-    Real path: PIL ``Image.resize`` in ``__call__`` with the decoded object
-    cached per batch; the fake derives a deterministic "resized" digest
-    from (payload, target) so downstream stages have a stable contract.
-    """
+    Real branch: PIL decode → ``resize(target)`` → re-encode PNG → digest
+    of the resized bytes (downstream stages get a stable content id either
+    way)."""
 
     def __init__(self, target: tuple[int, int] = (224, 224),
                  fake: bool = True):
-        try:  # pragma: no cover - library not present in this environment
-            import PIL.Image  # noqa: F401
-
-            self._pil = True
-        except ImportError:
-            self._pil = False
+        self._pil = _try_pil()
         if not self._pil and not fake:
             raise NotImplementedError(
                 "image resize requires PIL; pass fake=True for the stub"
             )
+        self.use_real = self._pil and not fake
         self.target = target
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _fake_sha(self, payload: bytes) -> str:
         tw, th = self.target
-        shas = []
-        for payload in batch["payload"].to_pylist():
-            shas.append(
-                hashlib.blake2b(
-                    payload + tw.to_bytes(4, "big") + th.to_bytes(4, "big"),
-                    digest_size=16,
-                ).hexdigest()
-            )
+        return hashlib.blake2b(
+            payload + tw.to_bytes(4, "big") + th.to_bytes(4, "big"),
+            digest_size=16,
+        ).hexdigest()
+
+    def _real_sha(self, payload: bytes) -> str:
+        import io
+
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            resized = img.resize(self.target)
+            buf = io.BytesIO()
+            resized.save(buf, format="PNG")
+        return hashlib.blake2b(buf.getvalue(), digest_size=16).hexdigest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sha = self._real_sha if self.use_real else self._fake_sha
+        tw, th = self.target
+        shas = [sha(p) for p in batch["payload"].to_pylist()]
         return pa.Table.from_pydict(
             {
                 "media_id": batch["media_id"],
@@ -172,35 +212,55 @@ class ImageResizeStage:
 class AudioFeatureStage:
     """audio payload -> (duration_ms, n_samples, feature vector).
 
-    Real path: soundfile/librosa decode + MFCC in ``__call__`` with the
-    model/filterbank built once in ``__init__``; the fake derives duration
-    and a bounded feature vector deterministically from the payload bytes.
-    """
+    Real branch: ``soundfile.read`` → duration from frames/samplerate →
+    per-band RMS over ``feat_dim`` equal time slices (a filterbank-free
+    MFCC stand-in using only numpy)."""
 
     def __init__(self, feat_dim: int = 12, fake: bool = True):
-        try:  # pragma: no cover - library not present in this environment
-            import soundfile  # noqa: F401
-
-            self._sf = True
-        except ImportError:
-            self._sf = False
+        self._sf = _try_soundfile()
         if not self._sf and not fake:
             raise NotImplementedError(
                 "audio decode requires soundfile; pass fake=True for the stub"
             )
+        self.use_real = self._sf and not fake
         self.feat_dim = feat_dim
 
+    def _fake_features(self, payload: bytes) -> tuple[int, int, list[float]]:
+        h = hashlib.blake2b(payload, digest_size=32).digest()
+        dur = 500 + int.from_bytes(h[:2], "big") % 9500  # 0.5-10 s
+        feat = (
+            np.frombuffer(h, dtype=np.uint8)[: self.feat_dim]
+            .astype(np.float32) / 255.0
+        ).tolist()
+        return dur, dur * 16, feat  # fake 16 kHz
+
+    def _real_features(self, payload: bytes) -> tuple[int, int, list[float]]:
+        import io
+
+        import soundfile as sf
+
+        data, samplerate = sf.read(io.BytesIO(payload), dtype="float32")
+        if data.ndim > 1:  # downmix to mono
+            data = data.mean(axis=1)
+        n_samples = len(data)
+        dur_ms = int(round(1000.0 * n_samples / samplerate))
+        # per-slice RMS over feat_dim equal time slices
+        edges = np.linspace(0, n_samples, self.feat_dim + 1, dtype=np.int64)
+        feat = [
+            float(np.sqrt(np.mean(np.square(data[a:b])))) if b > a else 0.0
+            for a, b in zip(edges[:-1], edges[1:])
+        ]
+        return dur_ms, n_samples, feat
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        feats_of = self._real_features if self.use_real else \
+            self._fake_features
         durs, samps, feats = [], [], []
         for payload in batch["payload"].to_pylist():
-            h = hashlib.blake2b(payload, digest_size=32).digest()
-            dur = 500 + int.from_bytes(h[:2], "big") % 9500  # 0.5-10 s
+            dur, n, f = feats_of(payload)
             durs.append(dur)
-            samps.append(dur * 16)  # fake 16 kHz
-            feats.append(
-                (np.frombuffer(h, dtype=np.uint8)[: self.feat_dim]
-                 .astype(np.float32) / 255.0).tolist()
-            )
+            samps.append(n)
+            feats.append(f)
         return pa.Table.from_pydict(
             {
                 "media_id": batch["media_id"],
@@ -219,13 +279,32 @@ _MEDIA_STAGES = {
 }
 
 
-def decode_media(media_ds, kind: str = "image", batch_size: int = 16,
-                 concurrency=(1, 4)):
-    """Actor-pool decode over a media Dataset (small batches: payloads are
-    large; real deployments size batch_size by bytes)."""
+def payload_sized_batch(media_ds, target_batch_bytes: int,
+                        sample_rows: int = 8, max_batch: int = 256) -> int:
+    """batch_size ≈ target_batch_bytes / avg_payload_bytes, from a bounded
+    payload sample (a row-count guess is wrong by orders of magnitude when
+    payloads range from KB thumbnails to MB originals)."""
+    sample = media_ds.limit(sample_rows).to_pandas()
+    if len(sample) == 0:
+        return 16
+    avg = max(1, int(sample["payload"].map(len).mean()))
+    return max(1, min(max_batch, target_batch_bytes // avg))
+
+
+def decode_media(media_ds, kind: str = "image", batch_size: int | None = None,
+                 concurrency=(1, 4), target_batch_bytes: int = 4 << 20,
+                 **stage_kwargs):
+    """Actor-pool decode over a media Dataset.  ``batch_size=None`` sizes
+    batches by payload bytes (``target_batch_bytes`` per batch) from a
+    bounded sample; pass an explicit ``batch_size`` to override.
+    ``stage_kwargs`` (e.g. ``fake=False`` to require the real library
+    branch) forward to the stage constructor."""
     cls = _MEDIA_STAGES[kind]
+    if batch_size is None:
+        batch_size = payload_sized_batch(media_ds, target_batch_bytes)
     return media_ds.map_batches(
         cls,
+        fn_constructor_kwargs=stage_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

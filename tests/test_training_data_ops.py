@@ -425,3 +425,100 @@ def test_simhash_hot_band_capped(ray_session):
     ]
     # the planted pair survives in its own (non-degenerate) band buckets
     assert ((pairs["doc_a"] == 200) & (pairs["doc_b"] == 201)).any()
+
+
+def test_payload_sized_batching(ray_session):
+    """batch_size must derive from payload bytes, not row counts."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.multimodal import (
+        payload_sized_batch,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_media_table(50))
+    small = payload_sized_batch(ds, target_batch_bytes=1 << 20)
+    tiny = payload_sized_batch(ds, target_batch_bytes=400)
+    assert small > tiny >= 1
+    # a 4 MB target over ~160-byte fake payloads caps at max_batch
+    assert payload_sized_batch(ds, target_batch_bytes=4 << 20) == 256
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib").util.find_spec("PIL"),
+    reason="PIL not installed (real image branch is exercised where it is)",
+)
+def test_multimodal_real_image_branch(ray_session):
+    """Real-library branch: PIL decode + resize over genuine PNG payloads
+    (runs wherever PIL exists; the container ships without it)."""
+    import io
+
+    import PIL.Image
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.multimodal import (
+        decode_media,
+    )
+
+    payloads = []
+    for i in range(6):
+        img = PIL.Image.new("RGB", (32 + i, 24 + i), color=(i * 40, 10, 200))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        payloads.append(buf.getvalue())
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(6), pa.int64()),
+            "kind": pa.array(["image"] * 6),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_json": pa.array(["{}"] * 6),
+        }
+    )
+    out = decode_media(
+        ray.data.from_arrow(tbl), kind="image", fake=False
+    ).to_pandas().sort_values("media_id")
+    assert list(out["width"]) == [32 + i for i in range(6)]
+    assert list(out["height"]) == [24 + i for i in range(6)]
+    rs = decode_media(
+        ray.data.from_arrow(tbl), kind="resize", fake=False
+    ).to_pandas()
+    assert (rs["width"] == 224).all() and rs["resized_sha"].is_unique
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib").util.find_spec("soundfile"),
+    reason="soundfile not installed (real audio branch runs where it is)",
+)
+def test_multimodal_real_audio_branch(ray_session):
+    import io
+
+    import ray
+    import soundfile as sf
+
+    from nlp_series_relation_extraction_ray.stages.multimodal import (
+        decode_media,
+    )
+
+    payloads = []
+    for i in range(4):
+        t = np.linspace(0, 1, 8000, endpoint=False)
+        wave = (0.1 * (i + 1)) * np.sin(2 * np.pi * 440 * t)
+        buf = io.BytesIO()
+        sf.write(buf, wave.astype(np.float32), 8000, format="WAV")
+        payloads.append(buf.getvalue())
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(4), pa.int64()),
+            "kind": pa.array(["audio"] * 4),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_json": pa.array(["{}"] * 4),
+        }
+    )
+    out = decode_media(
+        ray.data.from_arrow(tbl), kind="audio", fake=False
+    ).to_pandas().sort_values("media_id")
+    assert (out["duration_ms"] == 1000).all()
+    assert (out["n_samples"] == 8000).all()
+    # louder waves -> larger RMS features
+    rms = out["features"].map(lambda f: float(np.mean(f)))
+    assert rms.is_monotonic_increasing

@@ -352,6 +352,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda sf: dd.near_dup_pairs_distributed(_docs(sf)),
             "docs_ngram_jaccard":
                 lambda sf: dd.ngram_jaccard_pairs(_docs(sf)),
+            # connected components over the exact pair graph: the
+            # keep-one-per-cluster dedup decision, SQL-verified against a
+            # recursive-CTE transitive closure
+            "docs_dup_clusters":
+                lambda sf: dd.dup_clusters(
+                    _docs(sf), dd.ngram_jaccard_pairs(_docs(sf))
+                ),
             "docs_simhash": lambda sf: dd.simhash_table(_docs(sf)),
             "docs_simhash_near_dup":
                 lambda sf: dd.simhash_near_dup_pairs(_docs(sf)),
@@ -427,6 +434,7 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "docs_train_test_split": ts.train_test_split_sql(),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_ngram_jaccard": dd.NGRAM_JACCARD_SQL,
+        "docs_dup_clusters": dd.dup_clusters_sql(dd.NGRAM_JACCARD_SQL),
         "docs_token_stats": ts.TOKEN_STATS_SQL,
         "docs_quality": ts.QUALITY_SQL,
         "docs_langid": ts.LANGID_SQL,

@@ -674,3 +674,116 @@ def embedding_dup_pairs(
         pairs, ["vec_a", "vec_b"],
         lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
     )
+
+
+# ---- near-dup clustering (connected components over the pair graph) ------
+
+
+def dup_clusters(docs_ds, pairs_ds, max_iters: int = 25):
+    """(doc_id, cluster_id) — connected components of the near-dup pair
+    graph; ``cluster_id`` is the minimum doc_id in the component (docs in
+    no pair are their own singleton cluster).  This is the operator that
+    turns pairwise dedup output into "keep one doc per duplicate cluster".
+
+    Distributed min-label propagation (the standard large-graph CC shape):
+    labels start as ``doc_id``; each round co-locates every edge endpoint
+    with its neighbor's label (one doc-keyed bucketed reduce) and takes the
+    per-node min (a second bucketed reduce).  Labels decrease monotonically,
+    so the corpus-wide ``sum(label)`` aggregate — a scalar on the driver —
+    detects the fixpoint exactly; rounds needed = component diameter (tiny
+    for dedup clusters).  The labels table is O(N) but only two int64
+    columns and streams through shuffles; nothing corpus-sized touches the
+    driver.  Each round materializes the (small) label table to keep
+    lineage flat.
+    """
+    import ray
+
+    from ..functions.grouping import bucketed_group_apply
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "label": df["doc_id"].astype("int64")}
+        )
+
+    labels = docs_ds.select_columns(["doc_id"]).map_batches(
+        init_labels, batch_format="pandas"
+    ).materialize()
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([df["doc_a"], df["doc_b"]]).astype("int64"),
+                "dst": pd.concat([df["doc_b"], df["doc_a"]]).astype("int64"),
+            }
+        )
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pandas")
+    if edges.count() == 0:
+        return labels.map_batches(
+            lambda df: df.rename(columns={"label": "cluster_id"}),
+            batch_format="pandas",
+        )
+    edges = edges.materialize()
+
+    def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+        # label row: key = the doc whose label this is; dst = -1
+        return pd.DataFrame(
+            {"key": df["doc_id"], "dst": np.int64(-1), "label": df["label"]}
+        )
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        # edge row keyed by src: wants src's label forwarded to dst
+        return pd.DataFrame(
+            {"key": df["src"], "dst": df["dst"], "label": np.int64(-1)}
+        )
+
+    def forward(df: pd.DataFrame) -> pd.DataFrame:
+        """Per key doc: its own label row re-emits (dst=key), and each edge
+        row emits (dst, key's label) — vectorized over the whole bucket."""
+        lab = df[df["dst"] == -1][["key", "label"]]
+        e = df[df["dst"] != -1][["key", "dst"]]
+        own = lab.rename(columns={"key": "dst"})
+        fwd = e.merge(lab, on="key")[["dst", "label"]]
+        return pd.concat([own, fwd], ignore_index=True)
+
+    def take_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("dst", as_index=False)["label"].min()
+        return out.rename(columns={"dst": "doc_id"}).astype("int64")
+
+    prev_sum = None
+    for _ in range(max_iters):
+        lab_rows = labels.map_batches(tag_label, batch_format="pandas")
+        edge_rows = edges.map_batches(tag_edge, batch_format="pandas")
+        msgs = bucketed_group_apply(lab_rows.union(edge_rows), "key", forward)
+        labels = bucketed_group_apply(msgs, "dst", take_min).materialize()
+        agg = labels.sum("label")
+        cur_sum = int(agg) if not isinstance(agg, dict) else int(agg["sum(label)"])
+        if cur_sum == prev_sum:  # monotone labels: equal sum == fixpoint
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"label": "cluster_id"}),
+        batch_format="pandas",
+    )
+
+
+def dup_clusters_sql(pairs_sql: str) -> str:
+    """Recursive-CTE oracle: transitive closure of the (symmetrized) pair
+    graph, cluster id = min reachable doc_id; singletons fall back to their
+    own id via the LEFT JOIN."""
+    return f"""WITH RECURSIVE
+p AS ({pairs_sql}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+r(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.u, r.v FROM e JOIN r ON e.v = r.u
+)
+SELECT d.doc_id,
+  CAST(COALESCE(m.cid, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d
+LEFT JOIN (SELECT u, MIN(v) AS cid FROM r GROUP BY u) m
+  ON d.doc_id = m.u"""

@@ -522,3 +522,42 @@ def test_multimodal_real_audio_branch(ray_session):
     # louder waves -> larger RMS features
     rms = out["features"].map(lambda f: float(np.mean(f)))
     assert rms.is_monotonic_increasing
+
+
+def test_dup_clusters_multihop_chain(ray_session):
+    """Label propagation must traverse multi-hop chains: pairs
+    (0,1)(1,2)(2,3)(7,9) -> components {0,1,2,3}, {7,9}, singletons else."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import dup_clusters
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(12, dtype=np.int64)})
+    )
+    pairs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_a": [0, 1, 2, 7], "doc_b": [1, 2, 3, 9]}
+        ).astype("int64")
+    )
+    got = dup_clusters(docs, pairs).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    want = {i: i for i in range(12)}
+    want.update({1: 0, 2: 0, 3: 0, 9: 7})
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_dup_clusters_empty_pairs(ray_session):
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import dup_clusters
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64)})
+    )
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                      "doc_b": pd.Series([], dtype="int64")})
+    )
+    got = dup_clusters(docs, pairs).to_pandas()
+    assert (got["doc_id"] == got["cluster_id"]).all() and len(got) == 5

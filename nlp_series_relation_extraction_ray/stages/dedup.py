@@ -685,30 +685,42 @@ def dup_clusters(docs_ds, pairs_ds, max_iters: int = 25):
     no pair are their own singleton cluster).  This is the operator that
     turns pairwise dedup output into "keep one doc per duplicate cluster".
 
-    Distributed min-label propagation (the standard large-graph CC shape):
-    labels start as ``doc_id``; each round co-locates every edge endpoint
-    with its neighbor's label (one doc-keyed bucketed reduce) and takes the
-    per-node min (a second bucketed reduce).  Labels decrease monotonically,
-    so the corpus-wide ``sum(label)`` aggregate — a scalar on the driver —
-    detects the fixpoint exactly; rounds needed = component diameter (tiny
-    for dedup clusters).  The labels table is O(N) but only two int64
-    columns and streams through shuffles; nothing corpus-sized touches the
-    driver.  Each round materializes the (small) label table to keep
-    lineage flat.
+    Distributed min-label propagation (the standard large-graph CC shape),
+    restricted to PAIR-INCIDENT nodes: near-dups are a small fraction of
+    any corpus, so the iterated label table is pair-graph-sized, never
+    corpus-sized.  Round 1 folds into init (label(u) = min(u, neighbors));
+    each later round co-locates labels with out-edges (one bucketed
+    reduce) and takes the per-node min of forwarded labels (a second).
+    Labels decrease monotonically, so the ``sum(label)`` scalar detects
+    the fixpoint exactly; rounds = component diameter (tiny for dedup
+    clusters).  One final doc-keyed bucketed reduce attaches the converged
+    labels to the full doc table (converged label ≤ doc_id, so the attach
+    is a plain min over {self-row, label-row}) — the ONLY corpus-wide
+    shuffle in the operator.  Nothing corpus-sized touches the driver.
     """
-    import ray
-
     from ..functions.grouping import bucketed_group_apply
 
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+    def self_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"doc_id": df["doc_id"].astype("int64"),
              "label": df["doc_id"].astype("int64")}
         )
 
-    labels = docs_ds.select_columns(["doc_id"]).map_batches(
-        init_labels, batch_format="pandas"
-    ).materialize()
+    singles = docs_ds.select_columns(["doc_id"]).map_batches(
+        self_rows, batch_format="pandas"
+    )
+
+    def take_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False)["label"].min()
+        return out.astype("int64")
+
+    def finish(labels_ds):
+        return bucketed_group_apply(
+            singles.union(labels_ds), "doc_id", take_min
+        ).map_batches(
+            lambda df: df.rename(columns={"label": "cluster_id"}),
+            batch_format="pandas",
+        )
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -720,14 +732,30 @@ def dup_clusters(docs_ds, pairs_ds, max_iters: int = 25):
 
     edges = pairs_ds.map_batches(both_dirs, batch_format="pandas")
     if edges.count() == 0:
-        return labels.map_batches(
-            lambda df: df.rename(columns={"label": "cluster_id"}),
-            batch_format="pandas",
-        )
+        import ray
+
+        return finish(ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "label": pd.Series([], dtype="int64")})
+        ))
     edges = edges.materialize()
 
+    # init == round 1: label(u) = min(u, neighbors(u)) per incident node
+    def init_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.concat([df["dst"], df["dst"]]).astype("int64"),
+                "label": pd.concat([df["src"], df["dst"]]).astype("int64"),
+            }
+        )
+
+    labels = bucketed_group_apply(
+        edges.map_batches(init_rows, batch_format="pandas"),
+        "doc_id", take_min,
+    ).materialize()
+
     def tag_label(df: pd.DataFrame) -> pd.DataFrame:
-        # label row: key = the doc whose label this is; dst = -1
+        # label row: key = the node whose label this is; dst = -1
         return pd.DataFrame(
             {"key": df["doc_id"], "dst": np.int64(-1), "label": df["label"]}
         )
@@ -739,34 +767,31 @@ def dup_clusters(docs_ds, pairs_ds, max_iters: int = 25):
         )
 
     def forward(df: pd.DataFrame) -> pd.DataFrame:
-        """Per key doc: its own label row re-emits (dst=key), and each edge
-        row emits (dst, key's label) — vectorized over the whole bucket."""
+        """Per key node: its own label row re-emits (dst=key), and each
+        edge row emits (dst, key's label) — vectorized over the bucket."""
         lab = df[df["dst"] == -1][["key", "label"]]
         e = df[df["dst"] != -1][["key", "dst"]]
         own = lab.rename(columns={"key": "dst"})
         fwd = e.merge(lab, on="key")[["dst", "label"]]
-        return pd.concat([own, fwd], ignore_index=True)
+        out = pd.concat([own, fwd], ignore_index=True)
+        return out.rename(columns={"dst": "doc_id"})
 
-    def take_min(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("dst", as_index=False)["label"].min()
-        return out.rename(columns={"dst": "doc_id"}).astype("int64")
+    def sum_labels(ds) -> int:
+        agg = ds.sum("label")
+        return int(agg) if not isinstance(agg, dict) else int(agg["sum(label)"])
 
-    prev_sum = None
+    prev_sum = sum_labels(labels)
     for _ in range(max_iters):
         lab_rows = labels.map_batches(tag_label, batch_format="pandas")
         edge_rows = edges.map_batches(tag_edge, batch_format="pandas")
         msgs = bucketed_group_apply(lab_rows.union(edge_rows), "key", forward)
-        labels = bucketed_group_apply(msgs, "dst", take_min).materialize()
-        agg = labels.sum("label")
-        cur_sum = int(agg) if not isinstance(agg, dict) else int(agg["sum(label)"])
+        labels = bucketed_group_apply(msgs, "doc_id", take_min).materialize()
+        cur_sum = sum_labels(labels)
         if cur_sum == prev_sum:  # monotone labels: equal sum == fixpoint
             break
         prev_sum = cur_sum
 
-    return labels.map_batches(
-        lambda df: df.rename(columns={"label": "cluster_id"}),
-        batch_format="pandas",
-    )
+    return finish(labels)
 
 
 def dup_clusters_sql(pairs_sql: str) -> str:

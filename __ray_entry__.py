@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_sessionize": rel.events_sessionize,
             "events_sessionize_salted": rel.events_sessionize_salted,
             "events_prev_lag": rel.events_prev_lag,
+            # two-stream as-of join (view -> purchase last-touch attribution)
+            "events_attribution": rel.events_attribution,
             "docs_top_tokens": rel.docs_top_tokens,
             "docs_top2_per_lang": rel.docs_top2_per_lang,
             "events_value_median": rel.events_value_median,
@@ -427,6 +429,7 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         # from the single-phase one — same oracle
         "events_sessionize_salted": rel.SESSIONIZE_SQL,
         "events_prev_lag": rel.PREV_LAG_SQL,
+        "events_attribution": rel.ATTRIBUTION_SQL,
         "docs_top_tokens": rel.TOP_TOKENS_SQL,
         "docs_top2_per_lang": rel.TOP2_PER_LANG_SQL,
         "events_value_median": rel.VALUE_MEDIAN_SQL,

@@ -794,3 +794,87 @@ SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events,
   CAST(SUM(n) AS BIGINT) AS n_events
 FROM per_sess GROUP BY user_id
 """
+
+
+# --- as-of JOIN between two event streams (view -> purchase attribution) --
+
+
+def events_attribution(sf_dir: str):
+    """For each purchase event, the user's most recent PRIOR view event —
+    a genuine two-stream as-of join (last-touch attribution), not a lag
+    within one stream.
+
+    Semantics (deterministic): a view matches iff ``(v.ts, v.event_id) <
+    (p.ts, p.event_id)`` lexicographically; the latest such view wins.
+    Purchases with no prior view are dropped (inner as-of).  ``lag_ms`` is
+    the purchase-minus-view gap in milliseconds (exact int64 arithmetic on
+    the microsecond timestamps).
+
+    Ray shape: column-pruned read filtered to the two event types, one
+    ``user_id``-bucketed reduce; inside each bucket a single vectorized
+    sort + per-user forward-fill carries the latest view onto every later
+    row — the sort-merge-within-partitions as-of pattern.  Hot users cost
+    O(their events) in one reducer; for adversarial skew the sessionize
+    salting pattern (stable time windows + per-window partials carrying
+    the window's last view) applies unchanged.
+    """
+    ds = _read(
+        sf_dir, "events",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    ).map_batches(
+        # vectorized pre-filter (a row-level .filter(fn) would call Python
+        # per row); at corpus scale pair with a row-group predicate
+        lambda df: df[df["event_type"].isin(("view", "purchase"))],
+        batch_format="pandas",
+    )
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        is_view = (df["event_type"] == "view").to_numpy()
+        work = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64").to_numpy(),
+                "event_id": df["event_id"].astype("int64").to_numpy(),
+                "ts_us": ts_us.to_numpy(),
+                "view_id": np.where(is_view, df["event_id"], np.nan),
+                "view_ts": np.where(is_view, ts_us, np.nan),
+            }
+        )
+        # latest view so far, per user; purchase rows are never views, so
+        # the forward-fill can only carry (ts, event_id)-earlier views
+        g = work.groupby("user_id")
+        work["lv_id"] = g["view_id"].ffill()
+        work["lv_ts"] = g["view_ts"].ffill()
+        out = work[~is_view & work["lv_id"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64"),
+                "user_id": out["user_id"].astype("int64"),
+                "view_event_id": out["lv_id"].astype("int64"),
+                "lag_ms": ((out["ts_us"] - out["lv_ts"].astype("int64"))
+                           // 1000).astype("int64"),
+            }
+        )
+
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(ds, "user_id", attribute)
+
+
+ATTRIBUTION_SQL = """
+WITH pv AS (
+  SELECT user_id, event_id, ts, event_type,
+    LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_event_id,
+    LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT event_id, user_id, CAST(view_event_id AS BIGINT) AS view_event_id,
+  CAST(date_diff('microsecond', view_ts, ts) // 1000 AS BIGINT) AS lag_ms
+FROM pv
+WHERE event_type = 'purchase' AND view_event_id IS NOT NULL
+"""

@@ -270,13 +270,20 @@ def build_ivf_index(
     index_dir: str,
     n_clusters: int = 16,
     train_sample: int = 2048,
+    files_per_bucket: int = 2,
 ) -> str:
     """One-off index build: assign buckets and write the embedding table as
     Parquet **partitioned by bucket** (``index_dir/bucket=<b>/``), plus the
     centroid matrix.  At probe time only ``n_probe/n_clusters`` of the data
     files are opened — the read pruning the in-memory variant only
     simulates.  The ``bucket`` column is kept in the data files as well so
-    explicit-file reads don't depend on hive-partition inference."""
+    explicit-file reads don't depend on hive-partition inference.
+
+    ``files_per_bucket`` bounds the file count via a pre-write repartition:
+    ``write_parquet(partition_cols=...)`` otherwise emits one file per
+    (block × bucket) — hundreds of KB-sized files whose open/footer cost
+    dominates the probe read.  At corpus scale raise it so each file stays
+    in the 256 MB–1 GB range."""
     import os
     import shutil
 
@@ -300,7 +307,7 @@ def build_ivf_index(
     bucketed = bucketed.map_batches(
         lambda t: t.append_column("bucket_part", t["bucket"]),
         batch_format="pyarrow",
-    )
+    ).repartition(files_per_bucket)
     os.makedirs(index_dir, exist_ok=True)
     bucketed.write_parquet(index_dir, partition_cols=["bucket_part"])
     np.save(os.path.join(index_dir, "centroids.npy"), centroids)

@@ -83,3 +83,50 @@ def test_salted_matches_sql_oracle(ray_session, hot_dir):
     pd.testing.assert_frame_equal(
         got[want.columns].astype("int64"), want.astype("int64")
     )
+
+
+def test_events_attribution_asof_semantics(ray_session, tmp_path):
+    """Hand-built stream pinning the as-of contract: latest prior view
+    wins, view-less purchases drop, same-ts ordering breaks by event_id."""
+    from nlp_series_relation_extraction_ray.pipelines.relational import (
+        events_attribution,
+    )
+
+    t0 = np.datetime64("2025-06-01T00:00:00", "us")
+    m = np.timedelta64(60, "s")
+    rows = [
+        # user 1: view(0) .. view(1) .. purchase(2) -> attributes to 1
+        (1, 0, t0 + 0 * m, "view"),
+        (1, 1, t0 + 5 * m, "view"),
+        (1, 2, t0 + 9 * m, "purchase"),
+        # user 1: purchase(3) after -> still latest view is 1
+        (1, 3, t0 + 30 * m, "purchase"),
+        # user 2: purchase(4) with NO prior view -> dropped;
+        # view(5) AFTER it must not attribute backwards
+        (2, 4, t0 + 2 * m, "purchase"),
+        (2, 5, t0 + 4 * m, "view"),
+        (2, 6, t0 + 6 * m, "purchase"),  # -> 5
+        # user 3: view(7) at the SAME ts as purchase(8): event_id order
+        # makes the view count as prior
+        (3, 7, t0 + 10 * m, "view"),
+        (3, 8, t0 + 10 * m, "purchase"),
+        # noise types are ignored
+        (1, 9, t0 + 8 * m, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = events_attribution(str(tmp_path)).to_pandas().sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    want = pd.DataFrame(
+        {
+            "event_id": [2, 3, 6, 8],
+            "user_id": [1, 1, 2, 3],
+            "view_event_id": [1, 1, 5, 7],
+            "lag_ms": [4 * 60_000, 25 * 60_000, 2 * 60_000, 0],
+        }
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)

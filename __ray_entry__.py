@@ -186,6 +186,17 @@ def _kg_node_degrees(sf_dir: str):
     return kg_node_degrees(_kg_edges(sf_dir))
 
 
+def _dup_clusters(sf_dir: str):
+    from nlp_series_relation_extraction_ray.stages import dedup as dd
+
+    key = ("dup_clusters", sf_dir)
+    if key not in _SHARED_CACHE:
+        _SHARED_CACHE[key] = dd.dup_clusters(
+            _docs(sf_dir), dd.ngram_jaccard_pairs(_docs(sf_dir))
+        ).materialize()
+    return _SHARED_CACHE[key]
+
+
 EVAL_HEADS = ("baseline", "mpn", "mhs", "biaffine", "baseline_wp")
 
 
@@ -357,10 +368,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # connected components over the exact pair graph: the
             # keep-one-per-cluster dedup decision, SQL-verified against a
             # recursive-CTE transitive closure
-            "docs_dup_clusters":
-                lambda sf: dd.dup_clusters(
-                    _docs(sf), dd.ngram_jaccard_pairs(_docs(sf))
-                ),
+            "docs_dup_clusters": _dup_clusters,
+            # ...and the APPLY step: one representative + member count per
+            # cluster (shares the materialized clusters checkpoint)
+            "docs_dedup_keep": lambda sf: dd.dedup_keep(_dup_clusters(sf)),
             "docs_simhash": lambda sf: dd.simhash_table(_docs(sf)),
             "docs_simhash_near_dup":
                 lambda sf: dd.simhash_near_dup_pairs(_docs(sf)),
@@ -438,6 +449,7 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_ngram_jaccard": dd.NGRAM_JACCARD_SQL,
         "docs_dup_clusters": dd.dup_clusters_sql(dd.NGRAM_JACCARD_SQL),
+        "docs_dedup_keep": dd.dedup_keep_sql(dd.NGRAM_JACCARD_SQL),
         "docs_token_stats": ts.TOKEN_STATS_SQL,
         "docs_quality": ts.QUALITY_SQL,
         "docs_langid": ts.LANGID_SQL,

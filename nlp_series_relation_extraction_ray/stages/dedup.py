@@ -337,14 +337,18 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, min_pct: int = 30,
 
     # pass 1: per-block doc counts (tiny — one row per (lang, lb) per batch,
     # combined on the driver; block cardinality is bounded at any corpus
-    # size, unlike block membership)
+    # size, unlike block membership).  Column-pruned: the counting read
+    # ships only (lang, n_chars), never text.
     def partial_count(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["lang", "lb"], as_index=False).agg(
-            cnt=("doc_id", "size")
+        out = df.copy()
+        out["lb"] = (df["n_chars"] // 64).astype("int64")
+        return out.groupby(["lang", "lb"], as_index=False).agg(
+            cnt=("n_chars", "size")
         )
 
     counts = (
-        blocked.map_batches(partial_count, batch_format="pandas")
+        docs_ds.select_columns(["lang", "n_chars"])
+        .map_batches(partial_count, batch_format="pandas")
         .to_pandas()
         .groupby(["lang", "lb"], as_index=False)["cnt"].sum()
     )
@@ -812,3 +816,26 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN (SELECT u, MIN(v) AS cid FROM r GROUP BY u) m
   ON d.doc_id = m.u"""
+
+
+def dedup_keep(clusters_ds):
+    """(cluster_id, keep_doc_id, n_members) — the APPLY step of near-dup
+    dedup: one representative (the min doc_id == the cluster id) per
+    cluster, with member counts.  A single cluster-keyed bucketed reduce
+    over :func:`dup_clusters` output."""
+    from ..functions.grouping import bucketed_group_apply
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("cluster_id", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_members=("doc_id", "size")
+        )
+        return out.astype("int64")
+
+    return bucketed_group_apply(clusters_ds, "cluster_id", merge)
+
+
+def dedup_keep_sql(pairs_sql: str) -> str:
+    return f"""WITH clusters AS ({dup_clusters_sql(pairs_sql)})
+SELECT cluster_id, MIN(doc_id) AS keep_doc_id,
+  COUNT(*) AS n_members
+FROM clusters GROUP BY cluster_id"""

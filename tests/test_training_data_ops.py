@@ -561,3 +561,30 @@ def test_dup_clusters_empty_pairs(ray_session):
     )
     got = dup_clusters(docs, pairs).to_pandas()
     assert (got["doc_id"] == got["cluster_id"]).all() and len(got) == 5
+
+
+def test_dedup_keep_apply_step(ray_session):
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        dedup_keep,
+        dup_clusters,
+    )
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64)})
+    )
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"doc_a": [0, 1, 5], "doc_b": [1, 2, 6]}).astype("int64")
+    )
+    keep = dedup_keep(dup_clusters(docs, pairs)).to_pandas().sort_values(
+        "cluster_id"
+    ).reset_index(drop=True)
+    want = pd.DataFrame(
+        {
+            "cluster_id": [0, 3, 4, 5, 7],
+            "keep_doc_id": [0, 3, 4, 5, 7],
+            "n_members": [3, 1, 1, 2, 1],
+        }
+    ).astype("int64")
+    pd.testing.assert_frame_equal(keep, want)

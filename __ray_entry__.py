@@ -197,6 +197,32 @@ def _dup_clusters(sf_dir: str):
     return _SHARED_CACHE[key]
 
 
+def _clean_corpus(sf_dir: str):
+    from nlp_series_relation_extraction_ray.pipelines.dataprep import (
+        clean_corpus,
+    )
+
+    # reuse the materialized dup_clusters checkpoint shared with
+    # docs_dup_clusters / docs_dedup_keep (one pair-graph build per run)
+    return clean_corpus(sf_dir, clusters_ds=_dup_clusters(sf_dir))
+
+
+def _minhash_clusters(sf_dir: str):
+    """Connected components over the DISTRIBUTED MinHash/LSH pair graph —
+    the full LSH dedup decision chain (shingle → minhash → band bucket →
+    verify → cluster) end-to-end.  Rows-only check: the hash family is not
+    SQL-expressible; semantics are pinned by the planted-duplicate pytest
+    and by dup_clusters' own recursive-CTE-verified propagation."""
+    from nlp_series_relation_extraction_ray.stages import dedup as dd
+
+    key = ("minhash_clusters", sf_dir)
+    if key not in _SHARED_CACHE:
+        _SHARED_CACHE[key] = dd.dup_clusters(
+            _docs(sf_dir), dd.near_dup_pairs_distributed(_docs(sf_dir))
+        ).materialize()
+    return _SHARED_CACHE[key]
+
+
 EVAL_HEADS = ("baseline", "mpn", "mhs", "biaffine", "baseline_wp")
 
 
@@ -354,6 +380,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_prev_lag": rel.events_prev_lag,
             # two-stream as-of join (view -> purchase last-touch attribution)
             "events_attribution": rel.events_attribution,
+            # fixed tumbling-window aggregate (windowed streaming semantics)
+            "events_window_counts": rel.events_window_counts,
+            # EXISTS semi-join (orders with a returned lineitem)
+            "orders_priority_exists": rel.orders_priority_exists,
+            # NOT-EXISTS anti-join (customers with no urgent order)
+            "custs_no_urgent_order": rel.custs_no_urgent_order,
+            # argmin join (cheapest supplier per part, decomposable reduce)
+            "part_cheapest_supplier": rel.part_cheapest_supplier,
             "docs_top_tokens": rel.docs_top_tokens,
             "docs_top2_per_lang": rel.docs_top2_per_lang,
             "events_value_median": rel.events_value_median,
@@ -372,6 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # ...and the APPLY step: one representative + member count per
             # cluster (shares the materialized clusters checkpoint)
             "docs_dedup_keep": lambda sf: dd.dedup_keep(_dup_clusters(sf)),
+            # LSH-pair-graph clustering (the MinHash dedup decision chain)
+            "docs_minhash_clusters": _minhash_clusters,
+            # flagship prep composition: dedup -> quality -> langid -> split
+            "docs_clean_corpus": _clean_corpus,
             "docs_simhash": lambda sf: dd.simhash_table(_docs(sf)),
             "docs_simhash_near_dup":
                 lambda sf: dd.simhash_near_dup_pairs(_docs(sf)),
@@ -397,6 +435,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }
     )
     return q
+
+
+def _clean_corpus_sql() -> str:
+    from nlp_series_relation_extraction_ray.pipelines.dataprep import (
+        clean_corpus_sql,
+    )
+
+    return clean_corpus_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -441,6 +487,10 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "events_sessionize_salted": rel.SESSIONIZE_SQL,
         "events_prev_lag": rel.PREV_LAG_SQL,
         "events_attribution": rel.ATTRIBUTION_SQL,
+        "events_window_counts": rel.WINDOW_COUNTS_SQL,
+        "orders_priority_exists": rel.PRIORITY_EXISTS_SQL,
+        "custs_no_urgent_order": rel.NO_URGENT_SQL,
+        "part_cheapest_supplier": rel.CHEAPEST_SUPPLIER_SQL,
         "docs_top_tokens": rel.TOP_TOKENS_SQL,
         "docs_top2_per_lang": rel.TOP2_PER_LANG_SQL,
         "events_value_median": rel.VALUE_MEDIAN_SQL,
@@ -449,6 +499,7 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_ngram_jaccard": dd.NGRAM_JACCARD_SQL,
         "docs_dup_clusters": dd.dup_clusters_sql(dd.NGRAM_JACCARD_SQL),
+        "docs_clean_corpus": _clean_corpus_sql(),
         "docs_dedup_keep": dd.dedup_keep_sql(dd.NGRAM_JACCARD_SQL),
         "docs_token_stats": ts.TOKEN_STATS_SQL,
         "docs_quality": ts.QUALITY_SQL,

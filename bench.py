@@ -163,11 +163,14 @@ def bench_queries(sf_dir: str) -> dict:
         "docs_near_dup_pairs",
         "docs_ngram_jaccard",
         "docs_simhash_near_dup",
+        "docs_dup_clusters",
+        "docs_dedup_keep",
         "docs_token_stats",
         "docs_langid",
         "emb_knn_bruteforce",
         "emb_knn_ivf",
         "events_sessionize_salted",
+        "events_attribution",
         "transcripts_reconstruct",
     ]
     qs = entry.queries()

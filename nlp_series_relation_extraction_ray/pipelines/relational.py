@@ -878,3 +878,261 @@ SELECT event_id, user_id, CAST(view_event_id AS BIGINT) AS view_event_id,
 FROM pv
 WHERE event_type = 'purchase' AND view_event_id IS NOT NULL
 """
+
+
+# --- tumbling-window aggregate (fixed 1-hour windows) ---------------------
+
+
+def events_window_counts(sf_dir: str):
+    """Per-(event_type, hour-window) tumbling-window aggregate.
+
+    The fixed-window counterpart of the gap-based ``events_sessionize``:
+    the window id is a pure function of the row (``floor(ts, 1h)``), so no
+    per-user ordering is needed — each batch computes complete partial
+    windows locally (map-side combine) and one low-cardinality bucketed
+    shuffle merges them.  Cardinality into the shuffle is
+    #event_types × #hours, not #events — at 100 TB (~10¹² events over a
+    year) that is ~40k groups, a trivial reduce.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.assign(
+            window_start=df["ts"].dt.floor("h"),
+            value_cents=cents(df["value"].to_numpy()),
+        )
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value_cents", "size"),
+            value_cents=("value_cents", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"),
+            value_cents=("value_cents", "sum"),
+        )
+        for c in ("n_events", "value_cents"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        partials, ["event_type", "window_start"], merge
+    )
+
+
+WINDOW_COUNTS_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+# --- EXISTS semi-join: orders with a qualifying lineitem ------------------
+
+
+def orders_priority_exists(sf_dir: str, returnflag: str = "R"):
+    """Order counts per priority where EXISTS a returned ('R') lineitem.
+
+    The EXISTS semi-join shape: neither fact table is materialized or
+    broadcast.  Lineitem streams to per-batch DISTINCT qualifying orderkeys
+    (map-side dedup shrinks the shuffle to ≤ one row per orderkey per
+    batch); orders stream to (orderkey, priority) markers; one union +
+    bucketed groupby on orderkey applies the EXISTS test; the surviving
+    priorities pre-count inside each bucket, so the final groupby reduces
+    #buckets × #priorities rows to the 5-row result.
+    """
+    qual_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("o_orderpriority", pa.string()),
+            ("is_line", pa.int8()),
+        ]
+    )
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def qual_markers(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = df.loc[df["l_returnflag"] == returnflag, "l_orderkey"].unique()
+        if len(keys) == 0:
+            return qual_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "okey": pa.array(keys.astype("int64"), pa.int64()),
+                "o_orderpriority": pa.array([""] * len(keys), pa.string()),
+                "is_line": pa.array([1] * len(keys), pa.int8()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return qual_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "okey": pa.array(df["o_orderkey"].astype("int64"), pa.int64()),
+                "o_orderpriority": pa.array(
+                    df["o_orderpriority"], pa.string()
+                ),
+                "is_line": pa.array([0] * len(df), pa.int8()),
+            }
+        )
+
+    qual = line.map_batches(qual_markers, batch_format="pyarrow")
+    ords = orders.map_batches(order_rows, batch_format="pyarrow")
+
+    def exists_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        present = df.loc[df["is_line"] == 1, "okey"].unique()
+        o = df[df["is_line"] == 0]
+        o = o[o["okey"].isin(present)]
+        out = o.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("okey", "size")
+        )
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    per_bucket = bucketed_group_apply(qual.union(ords), "okey", exists_reduce)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [df["o_orderpriority"].iloc[0]],
+                "n_orders": [int(df["n_orders"].sum())],
+            }
+        )
+
+    return (
+        per_bucket.groupby("o_orderpriority")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+PRIORITY_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# --- anti-join: customers with orders but no URGENT order -----------------
+
+
+def custs_no_urgent_order(sf_dir: str):
+    """Customers with ≥1 order and NO '1-URGENT' order (distributed
+    anti-join).
+
+    Per-batch partial flags (order count, urgent count per custkey) shrink
+    the shuffle to ≤ one row per customer per batch; the bucketed merge
+    applies the NOT-EXISTS filter vectorized.  Nothing is broadcast — the
+    excluded side is corpus-scale (any customer may have an urgent order),
+    so a broadcast anti-join would not survive 100 TB; this is the
+    union-shuffle form.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        urgent = (df["o_orderpriority"] == "1-URGENT").to_numpy()
+        g = df.assign(
+            n_orders=np.ones(len(df), dtype=np.int64),
+            n_urgent=urgent.astype("int64"),
+        ).groupby("o_custkey", as_index=False)[["n_orders", "n_urgent"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False)[
+            ["n_orders", "n_urgent"]
+        ].sum()
+        g = g[g["n_urgent"] == 0]
+        out = g[["o_custkey", "n_orders"]].copy()
+        out["o_custkey"] = out["o_custkey"].astype("int64")
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(partials, "o_custkey", merge)
+
+
+NO_URGENT_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+GROUP BY o_custkey
+"""
+
+
+# --- argmin join: cheapest supplier per part ------------------------------
+
+
+def part_cheapest_supplier(sf_dir: str):
+    """Per part: the supplier of its cheapest lineitem (argmin join).
+
+    The argmin reduce is decomposable: each batch keeps one best
+    (cents, suppkey) row per partkey (map-side combine — shuffle carries
+    ≤ one row per part per batch), and the bucketed merge repeats the same
+    selection.  Ties break on (cents, suppkey) lexicographically, matching
+    the ``ROW_NUMBER`` oracle exactly; prices compare in fixed-point cents
+    so the argmin is order-independent.
+    """
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def best_of(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["l_partkey", "min_price_cents", "best_suppkey"]
+        )
+        out = df.groupby("l_partkey", as_index=False).first()
+        for c in ("l_partkey", "best_suppkey", "min_price_cents"):
+            out[c] = out[c].astype("int64")
+        return out[["l_partkey", "best_suppkey", "min_price_cents"]]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = pd.DataFrame(
+            {
+                "l_partkey": df["l_partkey"],
+                "best_suppkey": df["l_suppkey"],
+                "min_price_cents": cents(df["l_extendedprice"].to_numpy()),
+            }
+        )
+        return pa.Table.from_pandas(best_of(df), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(partials, "l_partkey", best_of)
+
+
+CHEAPEST_SUPPLIER_SQL = """
+SELECT l_partkey, best_suppkey, min_price_cents FROM (
+  SELECT l_partkey,
+    l_suppkey AS best_suppkey,
+    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS min_price_cents,
+    ROW_NUMBER() OVER (
+      PARTITION BY l_partkey
+      ORDER BY CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), l_suppkey
+    ) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""

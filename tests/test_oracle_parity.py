@@ -63,6 +63,7 @@ def _check(entry_mod, con, name):
         "extract_triples_mpn",
         "extract_triples_mhs",
         "extract_triples_biaffine",
+        "extract_triples_baseline_wordpiece",
         "extract_complex_slots",
         "transcripts_reconstruct",
         "kg_nodes",
@@ -75,13 +76,22 @@ def _check(entry_mod, con, name):
         "events_sessionize",
         "events_sessionize_salted",
         "events_prev_lag",
+        "events_attribution",
+        "events_window_counts",
+        "orders_priority_exists",
+        "custs_no_urgent_order",
         "docs_top_tokens",
         "docs_top2_per_lang",
         "events_value_median",
         "parts_brand_stats",
+        "part_cheapest_supplier",
         "docs_train_test_split",
         "docs_exact_dedup",
         "docs_ngram_jaccard",
+        "docs_dup_clusters",
+        "docs_dedup_keep",
+        "docs_clean_corpus",
+        "eval_extraction_pr",
         "docs_token_stats",
         "docs_quality",
         "docs_langid",

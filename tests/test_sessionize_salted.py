@@ -130,3 +130,72 @@ def test_events_attribution_asof_semantics(ray_session, tmp_path):
         }
     ).astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_window_counts_semantics(ray_session, tmp_path):
+    """Hand-built stream pinning tumbling-window boundaries: events on an
+    exact hour boundary open the NEXT window; cents are fixed-point."""
+    from nlp_series_relation_extraction_ray.pipelines.relational import (
+        events_window_counts,
+    )
+
+    t0 = np.datetime64("2025-06-01T10:00:00", "us")
+    m = np.timedelta64(60, "s")
+    rows = [
+        ("view", t0 + 0 * m, 1.005),     # 10:00 window (boundary row)
+        ("view", t0 + 59 * m, 2.0),      # 10:00 window (last minute)
+        ("view", t0 + 60 * m, 3.0),      # 10:59:59.999.. -> no: 11:00 window
+        ("click", t0 + 5 * m, 0.994),    # 10:00 window, other type
+    ]
+    df = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = (
+        events_window_counts(str(tmp_path))
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "event_type": ["click", "view", "view"],
+            "window_start": pd.to_datetime(
+                ["2025-06-01 10:00", "2025-06-01 10:00", "2025-06-01 11:00"]
+            ),
+            "n_events": [1, 2, 1],
+            # cents() is double arithmetic bit-for-bit with the DuckDB
+            # oracle: 1.005 stores as 1.00499...  so floor(100.4999..+0.5)
+            # = 100 (not decimal round-half-up); floor(0.994*100+0.5)=99
+            "value_cents": [99, 100 + 200, 300],
+        }
+    )
+    got["window_start"] = got["window_start"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_custs_no_urgent_order_semantics(ray_session, tmp_path):
+    """Anti-join contract: a single urgent order anywhere excludes the
+    customer; every customer present in orders otherwise appears with its
+    full order count."""
+    from nlp_series_relation_extraction_ray.pipelines.relational import (
+        custs_no_urgent_order,
+    )
+
+    rows = [
+        (1, "5-LOW"), (1, "3-MEDIUM"),               # kept, n_orders=2
+        (2, "5-LOW"), (2, "1-URGENT"), (2, "2-HIGH"),  # excluded
+        (3, "1-URGENT"),                             # excluded
+        (4, "4-NOT SPECIFIED"),                      # kept, n_orders=1
+    ]
+    df = pd.DataFrame(rows, columns=["o_custkey", "o_orderpriority"])
+    df.to_parquet(tmp_path / "orders.parquet", index=False)
+
+    got = (
+        custs_no_urgent_order(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({"o_custkey": [1, 4], "n_orders": [2, 1]})
+    pd.testing.assert_frame_equal(got[want.columns].astype("int64"), want)

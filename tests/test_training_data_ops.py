@@ -588,3 +588,66 @@ def test_dedup_keep_apply_step(ray_session):
         }
     ).astype("int64")
     pd.testing.assert_frame_equal(keep, want)
+
+
+def test_minhash_clusters_group_planted_dups(docs):
+    """dup_clusters over the DISTRIBUTED LSH pair graph: every verified
+    near-dup pair must land in one cluster, non-dup docs stay singletons,
+    and the cluster id is the minimum member id."""
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        dup_clusters,
+        near_dup_pairs_distributed,
+    )
+
+    pairs = near_dup_pairs_distributed(docs, threshold=0.7)
+    pairs_df = pairs.to_pandas()
+    clusters = dup_clusters(docs, pairs).to_pandas()
+
+    lab = clusters.set_index("doc_id")["cluster_id"]
+    assert len(clusters) == docs.count()  # every doc labeled exactly once
+    # pair members co-cluster
+    assert (
+        lab.loc[pairs_df["doc_a"]].to_numpy()
+        == lab.loc[pairs_df["doc_b"]].to_numpy()
+    ).all()
+    # cluster id == min member id
+    assert (clusters.groupby("cluster_id")["doc_id"].min()
+            == clusters.groupby("cluster_id")["doc_id"].min().index).all()
+    # docs in no pair are singletons
+    incident = set(pairs_df["doc_a"]) | set(pairs_df["doc_b"])
+    solo = clusters[~clusters["doc_id"].isin(incident)]
+    assert (solo["cluster_id"] == solo["doc_id"]).all()
+
+
+def test_part_cheapest_supplier_tie_break(ray_session, tmp_path):
+    """Argmin join: min price wins; exact-cent ties break on suppkey; the
+    map-side combine and the bucketed merge apply the same selection."""
+    from nlp_series_relation_extraction_ray.pipelines.relational import (
+        part_cheapest_supplier,
+    )
+
+    df = pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 1, 2, 2, 3],
+            "l_suppkey": [9, 3, 5, 7, 2, 4],
+            # part 1: 5.00 tie between supp 3 and 9 -> 3 wins;
+            # part 2: 1.99 < 2.00; part 3: single row
+            "l_extendedprice": [5.0, 5.0, 6.0, 2.0, 1.99, 8.5],
+        }
+    )
+    df.to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    got = (
+        part_cheapest_supplier(str(tmp_path))
+        .to_pandas()
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "l_partkey": [1, 2, 3],
+            "best_suppkey": [3, 2, 4],
+            "min_price_cents": [500, 199, 850],
+        }
+    )
+    pd.testing.assert_frame_equal(got[want.columns].astype("int64"), want)

@@ -388,6 +388,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "custs_no_urgent_order": rel.custs_no_urgent_order,
             # argmin join (cheapest supplier per part, decomposable reduce)
             "part_cheapest_supplier": rel.part_cheapest_supplier,
+            # hopping/sliding windows (map-side explode to 4 windows/event)
+            "events_hopping_counts": rel.events_hopping_counts,
+            # exact distributed COUNT(DISTINCT) via pair-dedup shuffle
+            "events_distinct_users": rel.events_distinct_users,
+            # full TPC-H Q5 shape: 6-table multi-way join, two shuffles
+            "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
             "docs_top_tokens": rel.docs_top_tokens,
             "docs_top2_per_lang": rel.docs_top2_per_lang,
             "events_value_median": rel.events_value_median,
@@ -413,9 +419,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_simhash": lambda sf: dd.simhash_table(_docs(sf)),
             "docs_simhash_near_dup":
                 lambda sf: dd.simhash_near_dup_pairs(_docs(sf)),
+            # clustering over the SimHash band-LSH pair graph (same
+            # min-label propagation as the MinHash/exact chains)
+            "docs_simhash_clusters": lambda sf: dd.dup_clusters(
+                _docs(sf), dd.simhash_near_dup_pairs(_docs(sf))
+            ),
             "emb_dup_pairs": _emb_dups,
             # text analysis
             "docs_token_stats": lambda sf: ts.token_stats(_docs(sf)),
+            # Gopher-style duplicate-n-gram repetition signals
+            "docs_repetition": lambda sf: ts.repetition_stats(_docs(sf)),
             "docs_quality": lambda sf: ts.quality_stats(_docs(sf)),
             "docs_langid": lambda sf: ts.langid(_docs(sf)),
             "docs_fingerprints": lambda sf: ts.fingerprints(_docs(sf)),
@@ -432,6 +445,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "multimodal_audio_features": _media_audio,
             # the DuIE-style eval gate itself, as a queryable result
             "eval_extraction_pr": _eval_pr,
+        }
+    )
+
+    from nlp_series_relation_extraction_ray.functions import sketches as sk
+
+    q.update(
+        {
+            # mergeable constant-memory sketches (scale path for the exact
+            # distinct-count / heavy-hitter operators; bounds pinned by
+            # test_sketches.py)
+            "events_user_hll": sk.events_user_hll,
+            "docs_top_tokens_mg": sk.docs_top_tokens_mg,
         }
     )
     return q
@@ -491,6 +516,10 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "orders_priority_exists": rel.PRIORITY_EXISTS_SQL,
         "custs_no_urgent_order": rel.NO_URGENT_SQL,
         "part_cheapest_supplier": rel.CHEAPEST_SUPPLIER_SQL,
+        "events_hopping_counts": rel.HOPPING_COUNTS_SQL,
+        "events_distinct_users": rel.DISTINCT_USERS_SQL,
+        "q5_local_supplier_revenue": rel.Q5_FULL_SQL,
+        "docs_repetition": ts.REPETITION_SQL,
         "docs_top_tokens": rel.TOP_TOKENS_SQL,
         "docs_top2_per_lang": rel.TOP2_PER_LANG_SQL,
         "events_value_median": rel.VALUE_MEDIAN_SQL,

@@ -1,0 +1,246 @@
+"""Mergeable streaming sketches: HyperLogLog distinct counting and
+Misra–Gries heavy hitters.
+
+Both are the constant-memory scale path for aggregates whose exact forms
+(`events_distinct_users`, `docs_top_tokens`) shuffle one row per distinct
+key: a sketch partial is a FIXED-SIZE summary per batch (2^p registers /
+k counters), the merge is associative and commutative, so the reduce
+moves #batches × O(1) bytes regardless of corpus cardinality.  Exact
+operators stay the oracle; the sketches carry published error bounds
+(HLL: ~1.04/sqrt(2^p) relative error, Flajolet et al. 2007; MG: counts
+under-estimated by at most n/(k+1), Misra & Gries 1982) pinned by tests.
+
+Shapes, not classes: a partial is a plain numpy array / dict so it
+serializes cheaply through the object store inside arrow blocks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+
+# --- HyperLogLog -----------------------------------------------------------
+
+HLL_P = 12  # 4096 registers -> ~1.6% relative error
+_HLL_M = 1 << HLL_P
+
+
+def _hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes (md5-based: stable across processes,
+    unlike Python's salted hash())."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        h = hashlib.md5(str(v).encode()).digest()
+        out[i] = int.from_bytes(h[:8], "little")
+    return out
+
+
+def hll_partial(values) -> np.ndarray:
+    """Fold a batch of values into a fresh register array (uint8[2^p])."""
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P)  # remaining 64-p bits, left-aligned
+    # rho = position of the leftmost 1-bit in the remaining bits (1-based)
+    rho = np.ones(len(h), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    rem = rest.copy()
+    # vectorized leading-zero count over the 64-p usable bits
+    for _ in range(64 - HLL_P):
+        zero = (rem & mask) == 0
+        if not zero.any():
+            break
+        rho[zero] += 1
+        rem = rem << np.uint64(1)
+        rem[~zero] = mask  # freeze finished lanes
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Register-wise max: associative, commutative, idempotent."""
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+# --- Misra–Gries heavy hitters --------------------------------------------
+
+
+def mg_partial(tokens, k: int) -> dict[str, int]:
+    """One-pass Misra–Gries summary of a token stream with k counters."""
+    c: Counter = Counter()
+    for t in tokens:
+        if t in c:
+            c[t] += 1
+        elif len(c) < k:
+            c[t] = 1
+        else:
+            dead = [key for key in c if c[key] == 1]
+            for key in c:
+                c[key] -= 1
+            for key in dead:
+                del c[key]
+    return dict(c)
+
+
+def mg_merge(a: dict[str, int], b: dict[str, int], k: int) -> dict[str, int]:
+    """Merge two MG summaries (Agarwal et al. 2013): add counts, then
+    subtract the (k+1)-th largest and drop non-positive counters.  The
+    result keeps the combined streams' n/(k+1) under-estimate bound."""
+    c = Counter(a)
+    c.update(b)
+    if len(c) <= k:
+        return dict(c)
+    cut = sorted(c.values(), reverse=True)[k]
+    return {t: n - cut for t, n in c.items() if n - cut > 0}
+
+
+# --- Dataset-level operators ----------------------------------------------
+
+
+def events_user_hll(sf_dir: str):
+    """Approximate distinct users per event type via mergeable HLL
+    sketches — the constant-shuffle counterpart of the exact
+    ``events_distinct_users``.
+
+    The partial is #types × 4 KiB of registers per batch (independent of
+    user cardinality); the tiny groupby merges register-wise.  Rows-only
+    driver check (a hash family is not SQL-expressible); the error bound
+    vs the exact count is pinned by ``test_sketches.py``.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = [
+            {"event_type": et, "regs": hll_partial(g["user_id"].to_numpy())
+             .tobytes()}
+            for et, g in df.groupby("event_type")
+        ]
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("event_type", pa.string()), ("regs", pa.binary())]
+            ),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(_HLL_M, dtype=np.uint8)
+        for blob in df["regs"]:
+            regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_users_approx": [hll_estimate(regs)],
+            }
+        )
+
+    return partials.groupby("event_type").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+def docs_top_tokens_mg(sf_dir: str, k: int = 20, counters: int = 256):
+    """Approximate heavy-hitter tokens via mergeable Misra–Gries
+    summaries — the constant-shuffle counterpart of the exact
+    ``docs_top_tokens`` (whose combiner still shuffles one row per
+    DISTINCT token; MG caps the partial at ``counters`` entries no matter
+    the vocabulary).
+
+    Returns the top-``k`` surviving counters ordered by under-estimate.
+    Guarantee (pinned by test): any token with true count > n/(counters+1)
+    survives, and reported counts under-estimate by at most n/(counters+1).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    # one summary per batch as ONE list-valued row, so the fold stage sees
+    # summary boundaries without any tagging scheme
+    summary_schema = pa.schema(
+        [
+            ("tokens", pa.list_(pa.string())),
+            ("mg_counts", pa.list_(pa.int64())),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(t.split(" "))
+        summ = mg_partial(toks, counters)
+        return pa.Table.from_pydict(
+            {
+                "tokens": [list(summ.keys())],
+                "mg_counts": [list(summ.values())],
+            },
+            schema=summary_schema,
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        for toks, cnts in zip(
+            batch["tokens"].to_pylist(), batch["mg_counts"].to_pylist()
+        ):
+            acc = mg_merge(acc, dict(zip(toks, cnts)), counters)
+        return pa.Table.from_pydict(
+            {
+                "tokens": [list(acc.keys())],
+                "mg_counts": [list(acc.values())],
+            },
+            schema=summary_schema,
+        )
+
+    # summaries are ≤ counters entries each: fold within each block first
+    # (tree-reduce level 1), then one task folds the survivors — the same
+    # associative merge at both levels
+    merged = (
+        partials.map_batches(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].to_pylist()[0]
+        cnts = batch["mg_counts"].to_pylist()[0]
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(toks, pa.string()),
+                "mg_count": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(explode, batch_format="pyarrow")
+        .sort(["mg_count", "token"], descending=[True, False])
+        .limit(k)
+    )

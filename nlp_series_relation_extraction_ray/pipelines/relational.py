@@ -1136,3 +1136,322 @@ SELECT l_partkey, best_suppkey, min_price_cents FROM (
   FROM lineitem
 ) WHERE rn = 1
 """
+
+
+# --- hopping (sliding) window aggregate -----------------------------------
+
+
+def events_hopping_counts(sf_dir: str):
+    """Per-(event_type, window) HOPPING-window aggregate: 1-hour windows
+    every 15 minutes, so each event contributes to exactly 4 overlapping
+    windows.
+
+    The sliding counterpart of the tumbling ``events_window_counts``: the
+    window set is still a pure row function (floor ts to the 15-min hop,
+    subtract k hops for k=0..3), so the explode happens map-side inside
+    the batch (vectorized ``np.repeat``/tile — no per-row loop, no join)
+    and partial windows complete locally before one low-cardinality merge.
+    Shuffle cardinality is #types × #hops (4× the tumbling case, still
+    ~160k groups/year at 10¹² events) — the explode multiplies the partial
+    COUNTS, never the event rows.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    hop = pd.Timedelta(minutes=15)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        base = df["ts"].dt.floor("15min")
+        # explode each event to its 4 covering windows, vectorized
+        n = len(df)
+        starts = (
+            np.repeat(base.to_numpy(), 4)
+            - np.tile(np.arange(4), n) * hop.to_timedelta64()
+        )
+        g = pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].to_numpy(), 4),
+                "window_start": starts,
+            }
+        ).groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("window_start", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        partials, ["event_type", "window_start"], merge
+    )
+
+
+HOPPING_COUNTS_SQL = """
+SELECT event_type,
+  time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+    AS window_start,
+  COUNT(*) AS n_events
+FROM events
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+GROUP BY event_type, window_start
+"""
+
+
+# --- exact distributed COUNT(DISTINCT) ------------------------------------
+
+
+def events_distinct_users(sf_dir: str):
+    """Exact distinct users per event type (distributed COUNT DISTINCT).
+
+    The partial dedups (event_type, user_id) pairs inside each batch, so
+    the shuffle carries ≤ one row per pair per batch, not per event; the
+    bucketed reduce dedups globally (a pair lands in exactly one hash
+    bucket) and pre-counts per type within the bucket, so the final
+    groupby reduces #buckets × #types rows.  The approximate counterpart
+    (mergeable HyperLogLog sketches, constant memory per group) is
+    ``events_user_hll`` in ``functions/sketches.py``.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        df["user_id"] = df["user_id"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        out = d.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    per_bucket = bucketed_group_apply(
+        partials, ["event_type", "user_id"], bucket_count
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_users": [int(df["n_users"].sum())],
+            }
+        )
+
+    return per_bucket.groupby("event_type").map_groups(
+        final, batch_format="pandas"
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# --- Q5: local-supplier revenue per nation (multi-way join) ---------------
+
+
+def q5_local_supplier_revenue(
+    sf_dir: str, region: str = "ASIA",
+    date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+):
+    """TPC-H Q5 shape: revenue per nation from lineitems where the customer
+    and the supplier sit in the same nation of one region, for one order
+    year — the engine's multi-way join showcase.
+
+    Physical plan (two shuffles total, nothing corpus-scale on the driver):
+
+    - region ⋈ nation and supplier are DIMENSION tables → broadcast as
+      ``ray.put`` lookup dicts (nation is ~25 rows; supplier is 1/15th of
+      customer and two int columns after pruning — at 100 TB, if supplier
+      outgrows worker heaps, it drops into the marker-union below exactly
+      like customer does).
+    - customer streams to (custkey, nationkey) markers, pre-filtered to the
+      region's nations; orders stream date-filtered to (orderkey, custkey);
+      shuffle #1 on custkey attaches the customer nation to each order.
+    - lineitem streams to (orderkey, supplier-nation, revenue_cents)
+      partials, pre-filtered to the region's suppliers via the broadcast
+      map; shuffle #2 on orderkey applies the SAME-NATION test
+      (c_nationkey == s_nationkey) and pre-aggregates per nation inside
+      each bucket, so the final reduce sees #buckets × #nations rows.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.base import worker_cached
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rkey = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype("int64"))
+    nat = nat[nat["n_regionkey"].astype("int64").isin(rkey)]
+    nation_name = dict(
+        zip(nat["n_nationkey"].astype("int64"), nat["n_name"])
+    )  # region-filtered: membership test AND name lookup
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sup = sup[sup["s_nationkey"].astype("int64").isin(nation_name)]
+    supp_nation_ref = ray.put(
+        dict(zip(sup["s_suppkey"].astype("int64"),
+                 sup["s_nationkey"].astype("int64")))
+    )
+    nation_keys_ref = ray.put(set(nation_name))
+
+    lo = np.datetime64(date_lo)
+    hi = np.datetime64(date_hi)
+
+    # shuffle #1: orders (date-filtered) ⋈ customer (region-filtered)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_markers(df: pd.DataFrame) -> pd.DataFrame:
+        nk = worker_cached(
+            ("q5_nations", nation_keys_ref.hex()),
+            lambda: ray.get(nation_keys_ref),
+        )
+        df = df[df["c_nationkey"].astype("int64").isin(nk)]
+        # named o_custkey up front: shuffle_join joins on one key column,
+        # and Dataset.rename_columns would inject an Arrow-only Project op
+        # onto these pandas blocks
+        return pd.DataFrame(
+            {
+                "o_custkey": df["c_custkey"].astype("int64"),
+                "c_nationkey": df["c_nationkey"].astype("int64"),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy()
+        df = df[(d >= lo) & (d < hi)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_custkey": df["o_custkey"].astype("int64"),
+            }
+        )
+
+    owned = shuffle_join(
+        orders.map_batches(order_rows, batch_format="pandas"),
+        cust.map_batches(cust_markers, batch_format="pandas"),
+        on="o_custkey",
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    # shuffle #2: (order, customer-nation) ⋈ lineitem revenue partials
+    pair_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("nationkey", pa.int64()),
+            ("revenue_cents", pa.int64()),
+            ("is_line", pa.int8()),
+        ]
+    )
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "nationkey": df["c_nationkey"].astype("int64"),
+                "revenue_cents": np.int64(0),
+                "is_line": np.int8(0),
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sn = worker_cached(
+            ("q5_suppliers", supp_nation_ref.hex()),
+            lambda: ray.get(supp_nation_ref),
+        )
+        df = batch.to_pandas()
+        nk = df["l_suppkey"].astype("int64").map(sn)
+        df = df.assign(nationkey=nk)[nk.notna()]
+        if df.empty:
+            return pair_schema.empty_table()
+        out = pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "nationkey": df["nationkey"].astype("int64"),
+                "revenue_cents": cents(
+                    df["l_extendedprice"].to_numpy()
+                    * (1.0 - df["l_discount"].to_numpy())
+                ),
+                "is_line": np.int8(1),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pair_schema
+        )
+
+    unioned = owned.map_batches(order_side, batch_format="pandas").union(
+        line.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def same_nation_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["is_line"] == 0][["o_orderkey", "nationkey"]]
+        l = df[df["is_line"] == 1]
+        m = l.merge(o, on="o_orderkey", suffixes=("", "_cust"))
+        m = m[m["nationkey"] == m["nationkey_cust"]]
+        out = m.groupby("nationkey", as_index=False)["revenue_cents"].sum()
+        out["nationkey"] = out["nationkey"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    per_bucket = bucketed_group_apply(unioned, "o_orderkey",
+                                      same_nation_reduce)
+
+    nation_name_ref = ray.put(nation_name)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(nation_name_ref)
+        return pd.DataFrame(
+            {
+                "n_name": [names[int(df["nationkey"].iloc[0])]],
+                "revenue_cents": [int(df["revenue_cents"].sum())],
+            }
+        )
+
+    return per_bucket.groupby("nationkey").map_groups(
+        final, batch_format="pandas"
+    )
+
+
+Q5_FULL_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+    AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""

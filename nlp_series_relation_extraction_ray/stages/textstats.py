@@ -180,6 +180,73 @@ FROM c
 """
 
 
+def repetition_stats(docs_ds):
+    """(doc_id, n_words, n_distinct_words, n_2grams, n_distinct_2grams,
+    n_3grams, n_distinct_3grams, repetitive_flag): Gopher-style repetition
+    signals for corpus filtering (Rae et al. 2021 §A1.1 use duplicate
+    n-gram fractions to drop boilerplate/templated documents).
+
+    All outputs are integers — the dup fractions are ratios of the
+    reported counts, and the flag rule is pure integer arithmetic, so the
+    DuckDB oracle matches value-exact (no float thresholds to drift).
+    Row-local map: vectorizes trivially at 100 TB (no shuffle).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        cols = {k: [] for k in (
+            "n_words", "n_distinct_words", "n_2grams", "n_distinct_2grams",
+            "n_3grams", "n_distinct_3grams", "repetitive_flag")}
+        for t in texts:
+            w = t.split(" ")
+            g2 = [f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1)]
+            g3 = [f"{w[i]} {w[i + 1]} {w[i + 2]}" for i in range(len(w) - 2)]
+            nw, dw = len(w), len(set(w))
+            n2, d2 = len(g2), len(set(g2))
+            n3, d3 = len(g3), len(set(g3))
+            # dup-3-gram fraction >= 0.2 OR dup-word fraction >= 0.5,
+            # in integer arithmetic (10*dup3 >= 2*n3  <=>  dup3/n3 >= 0.2)
+            flag = (n3 > 0 and 10 * (n3 - d3) >= 2 * n3) or (
+                2 * (nw - dw) >= nw
+            )
+            for k, v in (("n_words", nw), ("n_distinct_words", dw),
+                         ("n_2grams", n2), ("n_distinct_2grams", d2),
+                         ("n_3grams", n3), ("n_distinct_3grams", d3),
+                         ("repetitive_flag", flag)):
+                cols[k].append(v)
+        out = {"doc_id": batch["doc_id"]}
+        for k in cols:
+            typ = pa.bool_() if k == "repetitive_flag" else pa.int64()
+            out[k] = pa.array(cols[k], typ)
+        return pa.Table.from_pydict(out)
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), n AS (
+  SELECT doc_id, w,
+    list_transform(generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1]) AS g2,
+    list_transform(generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS g3
+  FROM g
+)
+SELECT doc_id,
+  len(w) AS n_words,
+  len(list_distinct(w)) AS n_distinct_words,
+  len(g2) AS n_2grams,
+  len(list_distinct(g2)) AS n_distinct_2grams,
+  len(g3) AS n_3grams,
+  len(list_distinct(g3)) AS n_distinct_3grams,
+  ((len(g3) > 0 AND 10 * (len(g3) - len(list_distinct(g3))) >= 2 * len(g3))
+   OR 2 * (len(w) - len(list_distinct(w))) >= len(w)) AS repetitive_flag
+FROM n
+"""
+
+
 def rolling_hash(text: str) -> int:
     """Polynomial rolling hash (document fingerprint)."""
     h = 0

@@ -78,8 +78,12 @@ def _check(entry_mod, con, name):
         "events_prev_lag",
         "events_attribution",
         "events_window_counts",
+        "events_hopping_counts",
+        "events_distinct_users",
         "orders_priority_exists",
         "custs_no_urgent_order",
+        "q5_local_supplier_revenue",
+        "docs_repetition",
         "docs_top_tokens",
         "docs_top2_per_lang",
         "events_value_median",

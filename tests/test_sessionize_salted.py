@@ -199,3 +199,103 @@ def test_custs_no_urgent_order_semantics(ray_session, tmp_path):
     )
     want = pd.DataFrame({"o_custkey": [1, 4], "n_orders": [2, 1]})
     pd.testing.assert_frame_equal(got[want.columns].astype("int64"), want)
+
+
+def test_events_hopping_counts_semantics(ray_session, tmp_path):
+    """Every event contributes to EXACTLY 4 overlapping 1-hour windows at
+    15-min hops, and each window's count equals the events inside
+    [start, start+1h)."""
+    from nlp_series_relation_extraction_ray.pipelines.relational import (
+        events_hopping_counts,
+    )
+
+    t0 = np.datetime64("2025-06-01T10:07:00", "us")
+    rows = [
+        ("view", t0),                                   # 10:07
+        ("view", t0 + np.timedelta64(10, "m")),         # 10:17
+    ]
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = (
+        events_hopping_counts(str(tmp_path))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # each event in exactly 4 windows -> total count mass 8
+    assert int(got["n_events"].sum()) == 8
+    # 10:07 -> windows 09:15..10:00; 10:17 -> 09:30..10:15
+    want = {
+        "2025-06-01 09:15": 1,
+        "2025-06-01 09:30": 2,
+        "2025-06-01 09:45": 2,
+        "2025-06-01 10:00": 2,
+        "2025-06-01 10:15": 1,
+    }
+    got_map = {
+        str(pd.Timestamp(w))[:16]: int(n)
+        for w, n in zip(got["window_start"], got["n_events"])
+    }
+    assert got_map == {k[:16]: v for k, v in want.items()}
+
+
+def test_q5_same_nation_join_semantics(ray_session, tmp_path):
+    """Q5 contract: revenue counts ONLY when customer and supplier share a
+    nation inside the region, and only date-window orders qualify."""
+    from nlp_series_relation_extraction_ray.pipelines.relational import (
+        q5_local_supplier_revenue,
+    )
+
+    pd.DataFrame(
+        {"r_regionkey": [0, 1], "r_name": ["ASIA", "EUROPE"]}
+    ).to_parquet(tmp_path / "region.parquet", index=False)
+    pd.DataFrame(
+        {
+            "n_nationkey": [10, 11, 20],
+            "n_name": ["CHINA", "JAPAN", "FRANCE"],
+            "n_regionkey": [0, 0, 1],
+        }
+    ).to_parquet(tmp_path / "nation.parquet", index=False)
+    pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_nationkey": [10, 11, 20]}
+    ).to_parquet(tmp_path / "supplier.parquet", index=False)
+    pd.DataFrame(
+        {"c_custkey": [100, 101, 102], "c_nationkey": [10, 11, 20]}
+    ).to_parquet(tmp_path / "customer.parquet", index=False)
+    pd.DataFrame(
+        {
+            "o_orderkey": [1000, 1001, 1002],
+            "o_custkey": [100, 100, 101],
+            "o_orderdate": pd.to_datetime(
+                ["1996-06-01", "1995-06-01", "1996-06-01"]  # 1001 out of window
+            ),
+        }
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame(
+        {
+            # order 1000 (cust CHINA): supp1=CHINA counts, supp2=JAPAN
+            # mismatched nation, supp3=FRANCE outside region;
+            # order 1001 in-window=False; order 1002 (cust JAPAN): supp2 counts
+            "l_orderkey": [1000, 1000, 1000, 1001, 1002],
+            "l_suppkey": [1, 2, 3, 1, 2],
+            "l_extendedprice": [10.0, 20.0, 30.0, 40.0, 5.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0, 0.2],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+
+    got = (
+        q5_local_supplier_revenue(str(tmp_path))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "n_name": ["CHINA", "JAPAN"],
+            "revenue_cents": [1000, 400],  # 10.00 ; 5.0*0.8=4.00
+        }
+    )
+    got["revenue_cents"] = got["revenue_cents"].astype("int64")
+    pd.testing.assert_frame_equal(got[want.columns], want)

@@ -651,3 +651,44 @@ def test_part_cheapest_supplier_tie_break(ray_session, tmp_path):
         }
     )
     pd.testing.assert_frame_equal(got[want.columns].astype("int64"), want)
+
+
+def test_repetition_flag_rule(ray_session, tmp_path):
+    """Integer flag rule: dup-3-gram fraction >= 0.2 OR dup-word fraction
+    >= 0.5; boundary docs pin the >= edges."""
+    from nlp_series_relation_extraction_ray.stages.textstats import (
+        repetition_stats,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # unique words: no repetition at all
+                "alpha beta gamma delta epsilon",
+                # phrase repeated 3x + unique tail: 13 words / 7 distinct
+                # (dup-word 6/13 < 0.5, word rule NOT triggered) but 11
+                # 3-grams / 7 distinct -> dup3 4/11 >= 0.2 -> flagged by
+                # the 3-gram rule alone
+                "a b c a b c a b c u v w x",
+                # 4 words 2 distinct -> dup-word frac exactly 0.5 (>= edge)
+                "w w y y",
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = (
+        repetition_stats(__import__("ray").data.read_parquet(
+            str(tmp_path / "documents.parquet")
+        ))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["repetitive_flag"].tolist() == [False, True, True]
+    assert got.loc[1, "n_3grams"] == 11
+    assert got.loc[1, "n_distinct_3grams"] == 7
+    assert got.loc[1, "n_words"] == 13
+    assert got.loc[1, "n_distinct_words"] == 7
+    assert got.loc[2, "n_words"] == 4
+    assert got.loc[2, "n_distinct_words"] == 2

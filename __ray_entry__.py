@@ -178,12 +178,34 @@ def _emb_dups(sf_dir: str):
     return embedding_dup_pairs(ds, threshold=0.99)
 
 
+def _kg_edges_checkpoint(sf_dir: str):
+    """Materialized edge table shared by the graph-analytics queries
+    (degrees / triangles / pagerank) — the edge-build shuffles run once,
+    like the production path reading one written edges dir."""
+    key = ("kg_edges", sf_dir)
+    if key not in _SHARED_CACHE:
+        _SHARED_CACHE[key] = _kg_edges(sf_dir).materialize()
+    return _SHARED_CACHE[key]
+
+
 def _kg_node_degrees(sf_dir: str):
     from nlp_series_relation_extraction_ray.pipelines.kg import (
         kg_node_degrees,
     )
 
-    return kg_node_degrees(_kg_edges(sf_dir))
+    return kg_node_degrees(_kg_edges_checkpoint(sf_dir))
+
+
+def _kg_triangles(sf_dir: str):
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_triangles
+
+    return kg_triangles(_kg_edges_checkpoint(sf_dir))
+
+
+def _kg_pagerank(sf_dir: str):
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_pagerank
+
+    return kg_pagerank(_kg_edges_checkpoint(sf_dir))
 
 
 def _dup_clusters(sf_dir: str):
@@ -358,6 +380,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_node_degrees": _kg_node_degrees,
+        # graph analytics: degree-ordered triangle enumeration (SQL-exact
+        # vs a 3-way self-join) and fixed-iteration PageRank (floats →
+        # rows-only; fixed-point pinned vs a dense reference in pytest)
+        "kg_triangles": _kg_triangles,
+        "kg_pagerank": _kg_pagerank,
     }
 
     from nlp_series_relation_extraction_ray.pipelines import relational as rel
@@ -394,6 +421,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_distinct_users": rel.events_distinct_users,
             # full TPC-H Q5 shape: 6-table multi-way join, two shuffles
             "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
+            # Q10 shape: top-k ranking join with late name materialization
+            "q10_returned_revenue": rel.q10_returned_revenue,
+            # exact per-type order statistics via distribution reduce
+            "events_type_quantiles": rel.events_type_quantiles,
+            # Bloom-pruned EXISTS (exact result; bounded broadcast bitmap)
+            "orders_priority_exists_bloom": rel.orders_priority_exists_bloom,
+            # inverted index: bounded-df posting lists
+            "docs_posting_lists": rel.docs_posting_lists,
             "docs_top_tokens": rel.docs_top_tokens,
             "docs_top2_per_lang": rel.docs_top2_per_lang,
             "events_value_median": rel.events_value_median,
@@ -502,6 +537,18 @@ SELECT COALESCE(o.entity_id, i.entity_id) AS entity_id,
   CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
   CAST(COALESCE(in_weight, 0) AS BIGINT) AS in_weight
 FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
+        "kg_triangles": f"""WITH edges AS ({fsql.kg_edges_sql()}),
+und AS (SELECT DISTINCT LEAST(src_id, dst_id) AS u,
+               GREATEST(src_id, dst_id) AS v
+        FROM edges WHERE src_id <> dst_id),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1 JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT node, COUNT(*) AS n_triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) GROUP BY node""",
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "suppliers_per_region": rel.Q5_SQL,
@@ -519,6 +566,10 @@ FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id""",
         "events_hopping_counts": rel.HOPPING_COUNTS_SQL,
         "events_distinct_users": rel.DISTINCT_USERS_SQL,
         "q5_local_supplier_revenue": rel.Q5_FULL_SQL,
+        "q10_returned_revenue": rel.Q10_SQL,
+        "events_type_quantiles": rel.TYPE_QUANTILES_SQL,
+        "orders_priority_exists_bloom": rel.BLOOM_EXISTS_SQL,
+        "docs_posting_lists": rel.POSTING_LISTS_SQL,
         "docs_repetition": ts.REPETITION_SQL,
         "docs_top_tokens": rel.TOP_TOKENS_SQL,
         "docs_top2_per_lang": rel.TOP2_PER_LANG_SQL,

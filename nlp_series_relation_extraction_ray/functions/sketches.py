@@ -110,6 +110,63 @@ def mg_merge(a: dict[str, int], b: dict[str, int], k: int) -> dict[str, int]:
     return {t: n - cut for t, n in c.items() if n - cut > 0}
 
 
+# --- Bloom filter (broadcast semi-join pre-filter) -------------------------
+
+
+def _mix64(x: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64-style integer mixer: deterministic, vectorized, stable
+    across processes (no Python hash salt)."""
+    z = x.astype(np.uint64) + np.uint64(
+        (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    )
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_bit_positions(keys: np.ndarray, m_bits: int,
+                         k_hashes: int) -> np.ndarray:
+    """[len(keys), k] bit indices via double hashing h1 + i*h2 (Kirsch &
+    Mitzenmacher 2006: two independent hashes simulate k)."""
+    h1 = _mix64(keys, 1)
+    h2 = _mix64(keys, 2) | np.uint64(1)  # odd, so strides cover the table
+    i = np.arange(k_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def bloom_partial(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """Fold a batch of int64 keys into a fresh bitmap (uint8[m/8])."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(keys) == 0:
+        return bits
+    pos = _bloom_bit_positions(np.asarray(keys, dtype=np.int64), m_bits,
+                               k_hashes).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
+def bloom_fold(bitmaps, m_bits: int) -> np.ndarray:
+    """OR-fold per-batch bitmaps (associative/commutative/idempotent)."""
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in bitmaps:
+        acc |= b
+    return acc
+
+
+def bloom_may_contain(bits: np.ndarray, keys: np.ndarray, m_bits: int,
+                      k_hashes: int) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (one-sided error:
+    never a false negative), False = definitely absent."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_bit_positions(np.asarray(keys, dtype=np.int64), m_bits,
+                               k_hashes)
+    hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return hit.all(axis=1).astype(bool)
+
+
 # --- Dataset-level operators ----------------------------------------------
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 from .extract import extract_triples
@@ -146,3 +147,259 @@ def kg_node_degrees(edges_ds):
         return out
 
     return bucketed_group_apply(partials, "entity_id", merge)
+
+
+def kg_triangles(edges_ds):
+    """Per-node triangle counts over the undirected KG entity graph —
+    degree-ordered distributed triangle enumeration.
+
+    The scale problem with the naive node-iterator (every node emits all
+    neighbor pairs) is hub entities: a node of degree d generates d²/2
+    wedges.  The standard fix (node-iterator++ / Schank & Wagner 2005):
+    orient each undirected edge from its LOWER-(degree, id) endpoint to the
+    higher one; every node's FORWARD degree is then O(sqrt(m)), so total
+    wedge volume is O(m^{3/2}) regardless of hubs.  Stages (all bucketed
+    reduces / shuffle joins — nothing corpus-scale on the driver):
+
+    1. canonical undirected pairs (u<v, loops dropped, distinct);
+    2. degree per node (partial + bucketed merge);
+    3. two shuffle joins attach (deg_u, deg_v) to each pair; orientation is
+       then a row op;
+    4. wedge generation grouped by oriented source (vectorized self-merge
+       per bucket, forward-degree-bounded);
+    5. wedge⋈edge match on the closing pair (union + bucketed reduce):
+       each matched wedge is one triangle, emitting its 3 corners;
+    6. per-node count (bucketed reduce).
+
+    Oracle: 3-way self-join over the same canonical pair set in DuckDB.
+    """
+    from ..functions.grouping import bucketed_group_apply
+    from ..functions.joins import shuffle_join
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["src_id"].astype(str)
+        v = df["dst_id"].astype(str)
+        out = pd.DataFrame(
+            {"u": np.minimum(u, v), "v": np.maximum(u, v)}
+        )
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = bucketed_group_apply(
+        edges_ds.map_batches(to_pairs, batch_format="pandas"), ["u", "v"],
+        dedup,
+    ).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([df["u"], df["v"]], ignore_index=True)
+        out = nodes.value_counts().rename_axis("node").reset_index(name="deg")
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["deg"].sum()
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    deg = bucketed_group_apply(
+        pairs.map_batches(deg_partial, batch_format="pandas"), "node",
+        deg_merge,
+    )
+
+    # attach both endpoint degrees (two shuffle joins against the degree
+    # table — NOT a broadcast: entity cardinality is corpus-scale)
+    def key_u(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"node": "u", "deg": "deg_u"})
+
+    def key_v(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"node": "v", "deg": "deg_v"})
+
+    with_du = shuffle_join(
+        pairs, deg.map_batches(key_u, batch_format="pandas"), on="u"
+    )
+    with_dv = shuffle_join(
+        with_du, deg.map_batches(key_v, batch_format="pandas"), on="v"
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        # forward direction: lower (deg, id) -> higher (deg, id)
+        u_first = (df["deg_u"] < df["deg_v"]) | (
+            (df["deg_u"] == df["deg_v"]) & (df["u"] < df["v"])
+        )
+        return pd.DataFrame(
+            {
+                "src": np.where(u_first, df["u"], df["v"]),
+                "fwd": np.where(u_first, df["v"], df["u"]),
+            }
+        )
+
+    oriented = with_dv.map_batches(orient, batch_format="pandas")
+
+    wedge_cols = ["a", "b", "src", "is_edge"]
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized wedge generation: self-merge forward adjacency per src
+        m = df.merge(df, on="src", suffixes=("_1", "_2"))
+        m = m[m["fwd_1"] < m["fwd_2"]]
+        # closing pair canonical order: both forward neighbors, min first
+        return pd.DataFrame(
+            {
+                "a": m["fwd_1"].to_numpy(),
+                "b": m["fwd_2"].to_numpy(),
+                "src": m["src"].to_numpy(),
+                "is_edge": np.int8(0),
+            }
+        )
+
+    wedge_rows = bucketed_group_apply(oriented, "src", wedges)
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": df["u"].to_numpy(),
+                "b": df["v"].to_numpy(),
+                "src": "",
+                "is_edge": np.int8(1),
+            },
+            columns=wedge_cols,
+        )
+
+    tagged = wedge_rows.union(
+        pairs.map_batches(edge_rows, batch_format="pandas")
+    )
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        # a wedge (src; a, b) closes iff the canonical pair (a, b) is an
+        # edge; every match is a distinct triangle {src, a, b}
+        e = df[df["is_edge"] == 1][["a", "b"]]
+        w = df[df["is_edge"] == 0]
+        tri = w.merge(e, on=["a", "b"])
+        if tri.empty:
+            return pd.DataFrame({"node": pd.Series([], dtype=str),
+                                 "n_triangles": pd.Series([], dtype="int64")})
+        corners = pd.concat(
+            [tri["src"], tri["a"], tri["b"]], ignore_index=True
+        )
+        out = corners.value_counts().rename_axis("node").reset_index(
+            name="n_triangles"
+        )
+        out["n_triangles"] = out["n_triangles"].astype("int64")
+        return out
+
+    matched = bucketed_group_apply(tagged, ["a", "b"], match)
+
+    def node_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["n_triangles"].sum()
+        out["n_triangles"] = out["n_triangles"].astype("int64")
+        return out
+
+    return bucketed_group_apply(matched, "node", node_merge)
+
+
+def kg_pagerank(edges_ds, damping: float = 0.85, n_iter: int = 5):
+    """PageRank over the directed KG entity graph (distinct src→dst edges),
+    fixed-iteration power method — the engine's iterative-analytics shape.
+
+    Per iteration: one shuffle join sends each node's rank to its
+    out-edges (rank × 1/outdeg contributions), one bucketed reduce sums
+    contributions per destination.  The adjacency (with precomputed
+    1/outdeg) is materialized ONCE and reused every round; ranks
+    re-materialize per round so lineage stays one-iteration deep.
+    Dangling-node mass is recovered in closed form (emitted contribution
+    sum vs total mass) — an O(1) driver scalar per round, never a
+    node-table materialization.  Floats → rows-only driver check; the
+    fixed-point is pinned against a dense numpy reference in pytest.
+    """
+    from ..functions.grouping import bucketed_group_apply
+    from ..functions.joins import shuffle_join
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"src": df["src_id"].astype(str), "dst": df["dst_id"].astype(str)}
+        )
+        return out.drop_duplicates()
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    adj = bucketed_group_apply(
+        edges_ds.map_batches(to_edges, batch_format="pandas"), ["src", "dst"],
+        dedup,
+    ).materialize()
+
+    # node universe (src ∪ dst, distinct) — stays a Dataset
+    def nodes_of(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([df["src"], df["dst"]], ignore_index=True)}
+        ).drop_duplicates()
+
+    nodes = bucketed_group_apply(
+        adj.map_batches(nodes_of, batch_format="pandas"), "node", dedup
+    ).materialize()
+    n_nodes = nodes.count()
+
+    # out-degree → per-edge emission probability, attached once
+    def outdeg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("src", as_index=False).agg(outdeg=("dst", "size"))
+        out["outdeg"] = out["outdeg"].astype("int64")
+        return out
+
+    deg = bucketed_group_apply(adj, "src", outdeg)
+    adj_p = shuffle_join(adj, deg, on="src").map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"], "dst": df["dst"],
+             "p": 1.0 / df["outdeg"].to_numpy()}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df["node"], "rank": 1.0 / n_nodes})
+
+    ranks = nodes.map_batches(init_rank, batch_format="pandas").materialize()
+
+    base = (1.0 - damping) / n_nodes
+    for _ in range(n_iter):
+        contrib = shuffle_join(adj_p, ranks, on="src").map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["dst"],
+                 "c": df["p"].to_numpy() * df["rank"].to_numpy()}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        emitted = contrib.sum("c") or 0.0
+        # non-dangling nodes emit their whole rank: dangling mass is the
+        # remainder of the total (ranks always sum to 1 up to float error)
+        dangling = max(0.0, 1.0 - emitted)
+
+        def contrib_merge(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("node", as_index=False)["c"].sum()
+            return out
+
+        summed = bucketed_group_apply(contrib, "node", contrib_merge)
+
+        # every node gets the base + dangling share even with no in-edges:
+        # union zero-contribution rows for the full node universe
+        zeros = nodes.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "c": 0.0}),
+            batch_format="pandas",
+        )
+        extra = base + damping * dangling / n_nodes
+
+        def fold_rank(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("node", as_index=False)["c"].sum()
+            return pd.DataFrame(
+                {"src": out["node"],
+                 "rank": extra + damping * out["c"].to_numpy()}
+            )
+
+        ranks = bucketed_group_apply(
+            summed.union(zeros), "node", fold_rank
+        ).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"src": "node"})[["node", "rank"]]
+
+    return ranks.map_batches(finish, batch_format="pandas")

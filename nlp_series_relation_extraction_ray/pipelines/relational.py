@@ -1455,3 +1455,380 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """
+
+
+# --- per-type exact quantiles (distribution reduce) -----------------------
+
+
+_QUANT_FRACS = ((25, 100, "p25_cents"), (50, 100, "p50_cents"),
+                (75, 100, "p75_cents"), (90, 100, "p90_cents"))
+
+
+def events_type_quantiles(sf_dir: str):
+    """Exact p25/p50/p75/p90 of event value (cents) per event type.
+
+    Unlike the per-user median (many small groups), an event TYPE holds a
+    corpus-scale fraction of all rows, so sorting raw values in one
+    reducer would not survive.  The scale shape is a DISTRIBUTION reduce:
+    values are discrete (fixed-point cents), so the partial is per-(type,
+    cents) COUNTS — bounded by value precision, not row count — one
+    bucketed merge dedups the distribution, and the tiny per-type final
+    stage walks the cumulative counts to the exact order statistic
+    (``quantile_disc``: sorted index ``ceil(q·n) - 1``, computed in
+    integer arithmetic).  At 10¹² events the shuffle moves #distinct-cents
+    × #types rows (~10⁶), never the events.
+    """
+    from ..functions.grouping import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "value_cents": cents(df["value"].to_numpy()),
+            }
+        ).groupby(["event_type", "value_cents"], as_index=False).agg(
+            cnt=("value_cents", "size")
+        )
+        g["cnt"] = g["cnt"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "value_cents"], as_index=False).agg(
+            cnt=("cnt", "sum")
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    dist = bucketed_group_apply(
+        partials, ["event_type", "value_cents"], merge_counts
+    )
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("value_cents")
+        vals = df["value_cents"].to_numpy()
+        cum = df["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"event_type": [df["event_type"].iloc[0]],
+               "n_events": [n]}
+        for num, den, name in _QUANT_FRACS:
+            idx = (n * num + den - 1) // den - 1  # ceil(q*n) - 1, exact
+            row[name] = [int(vals[np.searchsorted(cum, idx + 1)])]
+        return pd.DataFrame(row)
+
+    return dist.groupby("event_type").map_groups(
+        quantiles, batch_format="pandas"
+    )
+
+
+TYPE_QUANTILES_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(quantile_disc(c, 0.25) AS BIGINT) AS p25_cents,
+  CAST(quantile_disc(c, 0.50) AS BIGINT) AS p50_cents,
+  CAST(quantile_disc(c, 0.75) AS BIGINT) AS p75_cents,
+  CAST(quantile_disc(c, 0.90) AS BIGINT) AS p90_cents
+FROM (SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+GROUP BY event_type
+"""
+
+
+# --- bloom-filter-accelerated EXISTS semi-join ----------------------------
+
+
+def orders_priority_exists_bloom(sf_dir: str, returnflag: str = "R",
+                                 m_bits: int = 1 << 20, k_hashes: int = 4):
+    """Same result as ``orders_priority_exists``, with a broadcast Bloom
+    filter pruning the probe side BEFORE the shuffle.
+
+    Scale motivation: in the plain semi-join every order row enters the
+    union shuffle even though only a fraction have a returned lineitem.
+    Here a ~128 KiB Bloom bitmap is built from the qualifying keys (one
+    pass over lineitem: per-batch bitmaps OR-fold — the fold input is
+    #batches × m/8 bytes, constant per batch), broadcast via ``ray.put``,
+    and orders drop map-side unless the filter MAY contain their key.
+    Bloom false positives pass the filter but are removed by the exact
+    in-bucket EXISTS verify, so the result — and the SQL oracle — is
+    bit-identical to the exact operator; only the shuffle volume changes
+    (≈ qualifying fraction + fp rate).
+    """
+    import ray
+
+    from ..functions.sketches import bloom_fold, bloom_may_contain, bloom_partial
+    from ..stages.base import worker_cached
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def line_bloom(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = df.loc[df["l_returnflag"] == returnflag, "l_orderkey"]
+        bits = bloom_partial(keys.to_numpy("int64"), m_bits, k_hashes)
+        return pa.Table.from_pydict(
+            {"bits": pa.array([bits.tobytes()], pa.binary())}
+        )
+
+    # fold the per-batch bitmaps: tiny summary dataset (one fixed-size row
+    # per input batch), so driver-side take is bounded by batch COUNT
+    blobs = [
+        np.frombuffer(r["bits"], dtype=np.uint8)
+        for r in line.map_batches(line_bloom, batch_format="pyarrow")
+        .take_all()
+    ]
+    bloom_ref = ray.put(bloom_fold(blobs, m_bits))
+
+    qual_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("o_orderpriority", pa.string()),
+            ("is_line", pa.int8()),
+        ]
+    )
+
+    def qual_markers(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = df.loc[df["l_returnflag"] == returnflag, "l_orderkey"].unique()
+        if len(keys) == 0:
+            return qual_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "okey": pa.array(keys.astype("int64"), pa.int64()),
+                "o_orderpriority": pa.array([""] * len(keys), pa.string()),
+                "is_line": pa.array([1] * len(keys), pa.int8()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def order_rows_pruned(batch: pa.Table) -> pa.Table:
+        bits = worker_cached(
+            ("bloom", bloom_ref.hex()), lambda: ray.get(bloom_ref)
+        )
+        df = batch.to_pandas()
+        keys = df["o_orderkey"].to_numpy("int64")
+        df = df[bloom_may_contain(bits, keys, m_bits, k_hashes)]
+        if df.empty:
+            return qual_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "okey": pa.array(df["o_orderkey"].astype("int64"), pa.int64()),
+                "o_orderpriority": pa.array(
+                    df["o_orderpriority"], pa.string()
+                ),
+                "is_line": pa.array([0] * len(df), pa.int8()),
+            }
+        )
+
+    qual = line.map_batches(qual_markers, batch_format="pyarrow")
+    ords = orders.map_batches(order_rows_pruned, batch_format="pyarrow")
+
+    def exists_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        present = df.loc[df["is_line"] == 1, "okey"].unique()
+        o = df[df["is_line"] == 0]
+        o = o[o["okey"].isin(present)]
+        out = o.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("okey", "size")
+        )
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    per_bucket = bucketed_group_apply(qual.union(ords), "okey", exists_reduce)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [df["o_orderpriority"].iloc[0]],
+                "n_orders": [int(df["n_orders"].sum())],
+            }
+        )
+
+    return (
+        per_bucket.groupby("o_orderpriority")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# the Bloom pre-filter is an exact-result optimization: same oracle
+BLOOM_EXISTS_SQL = PRIORITY_EXISTS_SQL
+
+
+# --- inverted index: bounded-df posting lists -----------------------------
+
+
+def docs_posting_lists(sf_dir: str, min_df: int = 20, max_df: int = 400):
+    """Inverted index over document tokens: one (token, df, doc_id) row per
+    posting, restricted to tokens with ``min_df <= df <= max_df``.
+
+    The df band is the scale contract: ``max_df`` excludes stopword-class
+    tokens exactly like a production stop list, so a token's posting group
+    (which co-locates on one reducer) is bounded by max_df rows — no hub
+    token can concentrate a corpus-scale posting list on one worker.  The
+    partial dedups (token, doc) pairs per batch (each doc lives in one
+    batch, so per-batch dedup is global dedup); the single bucketed
+    shuffle groups by token, where df = group size and the band filter
+    runs vectorized.
+    """
+    import ray
+
+    from ..functions.grouping import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        e = (
+            df.assign(token=df["text"].str.split(" "))
+            .explode("token")[["doc_id", "token"]]
+            .drop_duplicates()
+        )
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(e["token"], pa.string()),
+                "doc_id": pa.array(e["doc_id"].astype("int64"), pa.int64()),
+            }
+        )
+
+    def band_filter(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("token")["doc_id"].transform("size")
+        out = df[(dfreq >= min_df) & (dfreq <= max_df)].copy()
+        out["df"] = dfreq[(dfreq >= min_df) & (dfreq <= max_df)].astype(
+            "int64"
+        )
+        return out[["token", "df", "doc_id"]]
+
+    return bucketed_group_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"), "token", band_filter
+    )
+
+
+POSTING_LISTS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), df AS (
+  SELECT token, COUNT(*) AS df FROM pairs GROUP BY token
+)
+SELECT p.token, df.df, p.doc_id
+FROM pairs p JOIN df ON p.token = df.token
+WHERE df.df BETWEEN 20 AND 400
+"""
+
+
+# --- Q10 shape: top-k customers by returned revenue -----------------------
+
+
+def q10_returned_revenue(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1996-04-01",
+    k: int = 20,
+):
+    """TPC-H Q10 shape: top-k customers by revenue from RETURNED lineitems
+    of one order quarter — ranking join with LATE MATERIALIZATION.
+
+    - lineitem streams to (orderkey, revenue_cents) partials, filtered to
+      returnflag='R' map-side; orders stream date-filtered to (orderkey,
+      custkey); shuffle #1 on orderkey attaches custkey to revenue.
+    - shuffle #2 reduces revenue per custkey in hash buckets; each bucket
+      emits only its local top-k (a custkey lives in exactly one bucket),
+      so the global sort ranks #buckets × k rows.
+    - customer NAMES never enter a shuffle: only after the top-k custkeys
+      are known does one pushdown-filtered read of the customer table
+      attach c_name/nation — at 100 TB the name columns of 10⁸ customers
+      stay in storage.  Ties break on custkey ascending (both sides).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_lo)
+    hi = np.datetime64(date_hi)
+
+    line = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def line_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "revenue_cents": cents(
+                    df["l_extendedprice"].to_numpy()
+                    * (1.0 - df["l_discount"].to_numpy())
+                ),
+            }
+        )
+        return out.groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        ).astype("int64")
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy()
+        df = df[(d >= lo) & (d < hi)]
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"].astype("int64"),
+                "o_custkey": df["o_custkey"].astype("int64"),
+            }
+        )
+
+    joined = shuffle_join(
+        line.map_batches(line_rev, batch_format="pandas"),
+        orders.map_batches(order_rows, batch_format="pandas"),
+        on="l_orderkey",
+    ).select_columns(["o_custkey", "revenue_cents"])
+
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        ).astype("int64")
+        return g.sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True]
+        ).head(k)
+
+    from ..functions.grouping import bucketed_group_apply
+
+    ranked = (
+        bucketed_group_apply(joined, "o_custkey", topk_bucket)
+        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+
+    # late materialization: fetch names for exactly the k winners
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filters=pc.field("c_custkey").isin(ranked["o_custkey"].tolist()),
+    ).to_pandas()
+    out = ranked.merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )[["o_custkey", "c_name", "revenue_cents"]]
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
+
+
+Q10_SQL = """
+SELECT o_custkey, c_name,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+    AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY o_custkey, c_name
+ORDER BY revenue_cents DESC, o_custkey LIMIT 20
+"""

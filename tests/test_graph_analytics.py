@@ -1,0 +1,94 @@
+"""Graph analytics over the KG edge table: degree-ordered triangle
+counting (`kg_triangles`) and fixed-iteration PageRank (`kg_pagerank`)
+— semantics pinned on hand-built graphs with known answers."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _edges_ds(pairs):
+    import ray
+
+    df = pd.DataFrame(pairs, columns=["src_id", "dst_id"])
+    df["predicate"] = "p"
+    df["weight"] = 1
+    return ray.data.from_pandas(df)
+
+
+def test_kg_triangles_k4_plus_pendant(ray_session):
+    """K4 on {a,b,c,d} has 4 triangles, every K4 node in exactly 3;
+    a pendant edge (d,e) adds none.  Directed duplicates / reverse edges /
+    self-loops must not change the undirected count."""
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_triangles
+
+    k4 = [(u, v) for i, u in enumerate("abcd") for v in "abcd"[i + 1:]]
+    noisy = k4 + [("b", "a"), ("c", "a"), ("e", "d"), ("a", "a")]
+    got = (
+        kg_triangles(_edges_ds(noisy))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"node": list("abcd"), "n_triangles": [3, 3, 3, 3]}
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_kg_triangles_two_components(ray_session):
+    """Two disjoint triangles count independently; a square (4-cycle,
+    no chord) contributes nothing."""
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_triangles
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"),
+             ("p", "q"), ("q", "r"), ("r", "s"), ("s", "p")]
+    got = kg_triangles(_edges_ds(edges)).to_pandas()
+    counts = dict(zip(got["node"], got["n_triangles"].astype(int)))
+    assert counts == {n: 1 for n in "abcxyz"}
+
+
+def _pagerank_reference(edges, damping, n_iter):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = sorted(set(edges))
+    outdeg = np.zeros(n)
+    for u, _ in adj:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for u, v in adj:
+            contrib[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        dangling = r[outdeg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return dict(zip(nodes, r))
+
+
+def test_kg_pagerank_matches_dense_reference(ray_session):
+    """Distributed fixed-iteration PageRank equals the dense power
+    iteration (same damping/iterations/dangling handling) to float
+    precision, on a graph with a hub, a dangling node, and a cycle."""
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("c", "d"),  # d is dangling (no out-edges)
+             ("e", "a"), ("e", "c"), ("a", "b")]  # duplicate edge ignored
+    got = kg_pagerank(_edges_ds(edges), damping=0.85, n_iter=5).to_pandas()
+    want = _pagerank_reference(edges, 0.85, 5)
+    assert set(got["node"]) == set(want)
+    for _, row in got.iterrows():
+        assert row["rank"] == pytest.approx(want[row["node"]], abs=1e-9)
+    # ranks remain a distribution (mass conservation incl. dangling)
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_kg_pagerank_uniform_on_symmetric_cycle(ray_session):
+    """On a directed cycle every node must keep exactly rank 1/n."""
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_pagerank
+
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    got = kg_pagerank(_edges_ds(cyc), n_iter=4).to_pandas()
+    assert np.allclose(got["rank"], 0.25, atol=1e-12)

@@ -69,6 +69,7 @@ def _check(entry_mod, con, name):
         "kg_nodes",
         "kg_edges",
         "kg_node_degrees",
+        "kg_triangles",
         "q1_pricing_summary",
         "q3_top_orders",
         "suppliers_per_region",
@@ -83,6 +84,10 @@ def _check(entry_mod, con, name):
         "orders_priority_exists",
         "custs_no_urgent_order",
         "q5_local_supplier_revenue",
+        "q10_returned_revenue",
+        "events_type_quantiles",
+        "orders_priority_exists_bloom",
+        "docs_posting_lists",
         "docs_repetition",
         "docs_top_tokens",
         "docs_top2_per_lang",

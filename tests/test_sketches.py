@@ -18,7 +18,43 @@ from nlp_series_relation_extraction_ray.functions.sketches import (
     mg_partial,
 )
 
+from nlp_series_relation_extraction_ray.functions.sketches import (
+    bloom_fold,
+    bloom_may_contain,
+    bloom_partial,
+)
+
 SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    """Every inserted key probes True (one-sided error), the fold is an
+    OR (merging partials == inserting the union), and the false-positive
+    rate stays near the (1-e^{-kn/m})^k prediction."""
+    rng = np.random.default_rng(5)
+    m_bits, k = 1 << 16, 4
+    keys = rng.choice(1 << 40, size=2000, replace=False)
+    a = bloom_partial(keys[:1000], m_bits, k)
+    b = bloom_partial(keys[1000:], m_bits, k)
+    bits = bloom_fold([a, b], m_bits)
+    assert bloom_may_contain(bits, keys, m_bits, k).all()
+    # fold == insert-all
+    assert np.array_equal(bits, bloom_partial(keys, m_bits, k))
+
+    absent = rng.choice(1 << 40, size=20_000, replace=False)
+    absent = absent[~np.isin(absent, keys)]
+    fp = bloom_may_contain(bits, absent, m_bits, k).mean()
+    predicted = (1 - np.exp(-k * len(keys) / m_bits)) ** k  # ~0.3%
+    assert fp < 3 * predicted + 0.005
+
+
+def test_bloom_empty_batch():
+    m_bits, k = 1 << 10, 3
+    assert bloom_partial(np.array([], dtype=np.int64), m_bits, k).sum() == 0
+    assert bloom_may_contain(
+        np.zeros(m_bits // 8, np.uint8), np.array([], dtype=np.int64),
+        m_bits, k,
+    ).shape == (0,)
 
 
 def test_hll_accuracy_and_merge():

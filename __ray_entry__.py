@@ -429,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "orders_priority_exists_bloom": rel.orders_priority_exists_bloom,
             # inverted index: bounded-df posting lists
             "docs_posting_lists": rel.docs_posting_lists,
+            # ROLLUP: three grouping levels in one shuffle
+            "docs_lang_source_rollup": rel.docs_lang_source_rollup,
             "docs_top_tokens": rel.docs_top_tokens,
             "docs_top2_per_lang": rel.docs_top2_per_lang,
             "events_value_median": rel.events_value_median,
@@ -570,6 +572,7 @@ SELECT node, COUNT(*) AS n_triangles FROM (
         "events_type_quantiles": rel.TYPE_QUANTILES_SQL,
         "orders_priority_exists_bloom": rel.BLOOM_EXISTS_SQL,
         "docs_posting_lists": rel.POSTING_LISTS_SQL,
+        "docs_lang_source_rollup": rel.ROLLUP_SQL,
         "docs_repetition": ts.REPETITION_SQL,
         "docs_top_tokens": rel.TOP_TOKENS_SQL,
         "docs_top2_per_lang": rel.TOP2_PER_LANG_SQL,

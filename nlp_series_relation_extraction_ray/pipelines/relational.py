@@ -1832,3 +1832,71 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
 GROUP BY o_custkey, c_name
 ORDER BY revenue_cents DESC, o_custkey LIMIT 20
 """
+
+
+# --- ROLLUP: multi-level aggregate in one shuffle -------------------------
+
+
+def docs_lang_source_rollup(sf_dir: str):
+    """Doc counts + total chars by (lang, source) with ROLLUP subtotals:
+    leaf rows, per-lang subtotals, and the grand total — three grouping
+    levels in ONE shuffle.
+
+    The scale trick: the map-side partial emits each batch's aggregate at
+    ALL three levels (the level key is a row function of the group key),
+    so subtotals never require a second pass over the leaves — the single
+    bucketed merge reduces 3 × (#langs × #sources) partial rows per batch.
+    NULL rollup markers are materialized as the 'ALL' sentinel on both the
+    Ray and SQL sides (COALESCE), keeping the hash compare exact.
+    """
+    import ray
+
+    from ..functions.grouping import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        leaf = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+        per_lang = leaf.groupby("lang", as_index=False)[
+            ["n_docs", "total_chars"]
+        ].sum()
+        per_lang["source"] = "ALL"
+        grand = pd.DataFrame(
+            {
+                "lang": ["ALL"],
+                "source": ["ALL"],
+                "n_docs": [leaf["n_docs"].sum()],
+                "total_chars": [leaf["total_chars"].sum()],
+            }
+        )
+        out = pd.concat([leaf, per_lang, grand], ignore_index=True)[
+            ["lang", "source", "n_docs", "total_chars"]
+        ]
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "source"], as_index=False)[
+            ["n_docs", "total_chars"]
+        ].sum()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return out
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang", "source"],
+        merge,
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""

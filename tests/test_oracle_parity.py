@@ -88,6 +88,7 @@ def _check(entry_mod, con, name):
         "events_type_quantiles",
         "orders_priority_exists_bloom",
         "docs_posting_lists",
+        "docs_lang_source_rollup",
         "docs_repetition",
         "docs_top_tokens",
         "docs_top2_per_lang",

@@ -145,3 +145,37 @@ def test_q10_topk_late_materialization(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got[want.columns].astype(
         {"o_custkey": "int64", "revenue_cents": "int64"}
     ), want)
+
+
+def test_rollup_levels_sum_consistently(ray_session, tmp_path):
+    """Leaf rows sum to their lang subtotal, lang subtotals to the grand
+    total, across multiple input blocks."""
+    from nlp_series_relation_extraction_ray.pipelines.relational import (
+        docs_lang_source_rollup,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "lang": ["en", "en", "en", "zh", "zh"],
+            "source": ["web", "web", "book", "web", "book"],
+            "n_chars": [10, 20, 30, 40, 50],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = (
+        docs_lang_source_rollup(str(tmp_path))
+        .to_pandas()
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "lang": ["ALL", "en", "en", "en", "zh", "zh", "zh"],
+            "source": ["ALL", "ALL", "book", "web", "ALL", "book", "web"],
+            "n_docs": [5, 3, 1, 2, 2, 1, 1],
+            "total_chars": [150, 60, 30, 30, 90, 50, 40],
+        }
+    )
+    for c in ("n_docs", "total_chars"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got[want.columns], want)

@@ -172,14 +172,34 @@ def bench_queries(sf_dir: str) -> dict:
         "events_sessionize_salted",
         "events_attribution",
         "transcripts_reconstruct",
+        # round-3 additions
+        "events_type_quantiles",
+        "events_distinct_users",
+        "events_hopping_counts",
+        "events_user_hll",
+        "q5_local_supplier_revenue",
+        "q10_returned_revenue",
+        "orders_priority_exists",
+        "orders_priority_exists_bloom",
+        "docs_posting_lists",
+        "docs_lang_source_rollup",
+        "docs_repetition",
+        "kg_triangles",
+        "kg_pagerank",
     ]
     qs = entry.queries()
+    # the KG build cost is reported by bench_kg; pre-warm the shared edge
+    # checkpoint so the graph-analytics rows time the analytics alone
+    entry._kg_edges_checkpoint(sf_dir)
     out = {}
     for name in picks:
         t0 = time.time()
         res = qs[name](sf_dir)
-        # consume (count triggers full streaming execution)
-        n = res.count() if hasattr(res, "count") else len(res)
+        # consume (count triggers full streaming execution); pandas results
+        # (late-materialization queries) are already driver-side
+        n = res.count() if hasattr(res, "to_pandas") and hasattr(
+            res, "iter_batches"
+        ) else len(res)
         out[name] = round(time.time() - t0, 3)
         out[f"{name}_rows"] = n
     ivf = bench_ivf_split(sf_dir)

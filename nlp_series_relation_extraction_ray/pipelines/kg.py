@@ -298,19 +298,33 @@ def kg_triangles(edges_ds):
     return bucketed_group_apply(matched, "node", node_merge)
 
 
-def kg_pagerank(edges_ds, damping: float = 0.85, n_iter: int = 5):
+def kg_pagerank(edges_ds, damping: float = 0.85, n_iter: int = 5,
+                dense_threshold: int = 100_000):
     """PageRank over the directed KG entity graph (distinct src→dst edges),
     fixed-iteration power method — the engine's iterative-analytics shape.
 
-    Per iteration: one shuffle join sends each node's rank to its
-    out-edges (rank × 1/outdeg contributions), one bucketed reduce sums
-    contributions per destination.  The adjacency (with precomputed
-    1/outdeg) is materialized ONCE and reused every round; ranks
-    re-materialize per round so lineage stays one-iteration deep.
-    Dangling-node mass is recovered in closed form (emitted contribution
-    sum vs total mass) — an O(1) driver scalar per round, never a
-    node-table materialization.  Floats → rows-only driver check; the
-    fixed-point is pinned against a dense numpy reference in pytest.
+    Two physical plans, chosen by measured node count (the classic
+    size-based switch: node STATE is tiny relative to the edge table):
+
+    - **dense broadcast** (n_nodes ≤ dense_threshold): the node universe
+      and out-degrees fold from map-side partials; the adjacency is
+      integer-encoded ONCE (broadcast id map) and repartitioned to
+      cpu-count blocks; each iteration broadcasts the per-node emission
+      vector (``ray.put``, 8 bytes/node) and runs ONE pure map pass —
+      every block returns a dense contribution vector, the driver sums
+      #blocks small vectors and applies damping/dangling in closed form.
+      No per-iteration shuffle at all.  At the default threshold the
+      broadcast is ≤ 800 KB and a block's return ≤ 800 KB — a KG of 10⁵
+      canonical entities with 10¹² mentions stays in this regime.
+    - **shuffle join** (larger): per iteration one shuffle join sends each
+      node's rank to its out-edges and one bucketed reduce sums per
+      destination; ranks re-materialize per round so lineage stays
+      one-iteration deep.  Dangling mass recovers in closed form from the
+      emitted-contribution sum (O(1) driver scalar per round).
+
+    Both plans are value-identical (same update rule); floats → rows-only
+    driver check; the fixed-point is pinned against a dense numpy
+    reference in pytest for BOTH plans.
     """
     from ..functions.grouping import bucketed_group_apply
     from ..functions.joins import shuffle_join
@@ -328,6 +342,10 @@ def kg_pagerank(edges_ds, damping: float = 0.85, n_iter: int = 5):
         edges_ds.map_batches(to_edges, batch_format="pandas"), ["src", "dst"],
         dedup,
     ).materialize()
+
+    dense = _pagerank_dense(adj, damping, n_iter, dense_threshold)
+    if dense is not None:
+        return dense
 
     # node universe (src ∪ dst, distinct) — stays a Dataset
     def nodes_of(df: pd.DataFrame) -> pd.DataFrame:
@@ -403,3 +421,97 @@ def kg_pagerank(edges_ds, damping: float = 0.85, n_iter: int = 5):
         return df.rename(columns={"src": "node"})[["node", "rank"]]
 
     return ranks.map_batches(finish, batch_format="pandas")
+
+
+def _pagerank_dense(adj, damping: float, n_iter: int, threshold: int):
+    """Dense-broadcast PageRank plan (see ``kg_pagerank``).  Returns None
+    when the node universe exceeds ``threshold`` (caller falls back to the
+    shuffle-join plan).
+
+    Node universe + out-degrees fold from map-side partials: each
+    adjacency block contributes ≤ its distinct-node count of (node, cnt)
+    rows, so the driver collect is bounded by #blocks × n_nodes — with
+    n_nodes ≤ threshold that is MBs, while the edge table itself never
+    leaves the cluster.
+    """
+    import pyarrow as pa
+    import ray
+
+    from ..stages.base import worker_cached
+
+    def deg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        src_cnt = df["src"].value_counts()
+        nodes = pd.Index(df["src"]).union(pd.Index(df["dst"])).unique()
+        return pd.DataFrame(
+            {
+                "node": nodes,
+                "outdeg": src_cnt.reindex(nodes).fillna(0).astype("int64"),
+            }
+        )
+
+    parts = pd.concat(
+        list(
+            adj.map_batches(deg_rows, batch_format="pandas").iter_batches(
+                batch_format="pandas"
+            )
+        ),
+        ignore_index=True,
+    )
+    deg = parts.groupby("node")["outdeg"].sum()
+    n = len(deg)
+    if n > threshold:
+        return None
+
+    nodes = deg.index.to_numpy()
+    outdeg = deg.to_numpy(dtype=np.float64)
+    idx_ref = ray.put({nd: i for i, nd in enumerate(nodes)})
+
+    # integer-encode the adjacency once; few fat blocks keep the
+    # per-iteration vector collect at #blocks × 8n bytes
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        idx = worker_cached(("pr_idx", idx_ref.hex()),
+                            lambda: ray.get(idx_ref))
+        return pd.DataFrame(
+            {
+                "s": df["src"].map(idx).astype("int32"),
+                "d": df["dst"].map(idx).astype("int32"),
+            }
+        )
+
+    import os
+
+    n_blocks = max(1, min(os.cpu_count() or 8, adj.num_blocks()))
+    enc = (
+        adj.map_batches(encode, batch_format="pandas")
+        .repartition(n_blocks)
+        .materialize()
+    )
+
+    dangling_mask = outdeg == 0
+    safe_deg = np.where(dangling_mask, 1.0, outdeg)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+
+    for _ in range(n_iter):
+        em_ref = ray.put(r / safe_deg)
+
+        def contrib_vec(batch: pa.Table) -> pa.Table:
+            em = ray.get(em_ref)  # fresh per iteration: no worker cache
+            vec = np.zeros(len(em))
+            s = batch["s"].to_numpy()
+            d = batch["d"].to_numpy()
+            np.add.at(vec, d, em[s])
+            return pa.Table.from_pydict(
+                {"vec": pa.array([vec.tobytes()], pa.binary())}
+            )
+
+        vecs = enc.map_batches(
+            contrib_vec, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        contrib = np.zeros(n)
+        for row in vecs:
+            contrib += np.frombuffer(row["vec"], dtype=np.float64)
+        dangling = float(r[dangling_mask].sum())
+        r = base + damping * (contrib + dangling / n)
+
+    return ray.data.from_pandas(pd.DataFrame({"node": nodes, "rank": r}))

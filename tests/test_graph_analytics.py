@@ -67,16 +67,22 @@ def _pagerank_reference(edges, damping, n_iter):
     return dict(zip(nodes, r))
 
 
-def test_kg_pagerank_matches_dense_reference(ray_session):
+@pytest.mark.parametrize("dense_threshold", [100_000, 0])
+def test_kg_pagerank_matches_dense_reference(ray_session, dense_threshold):
     """Distributed fixed-iteration PageRank equals the dense power
     iteration (same damping/iterations/dangling handling) to float
-    precision, on a graph with a hub, a dangling node, and a cycle."""
+    precision, on a graph with a hub, a dangling node, and a cycle —
+    for BOTH physical plans (dense broadcast and shuffle-join fallback,
+    forced via dense_threshold=0)."""
     from nlp_series_relation_extraction_ray.pipelines.kg import kg_pagerank
 
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
              ("c", "d"),  # d is dangling (no out-edges)
              ("e", "a"), ("e", "c"), ("a", "b")]  # duplicate edge ignored
-    got = kg_pagerank(_edges_ds(edges), damping=0.85, n_iter=5).to_pandas()
+    got = kg_pagerank(
+        _edges_ds(edges), damping=0.85, n_iter=5,
+        dense_threshold=dense_threshold,
+    ).to_pandas()
     want = _pagerank_reference(edges, 0.85, 5)
     assert set(got["node"]) == set(want)
     for _, row in got.iterrows():

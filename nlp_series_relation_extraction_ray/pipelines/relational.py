@@ -199,7 +199,10 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized over every orderkey in the bucket; inner-join
         # semantics: emit only orders in the segment (a marker row
-        # present) that have lineitem revenue rows
+        # present) that have lineitem revenue rows.  Each bucket emits
+        # only its LOCAL top-k (an orderkey lives in exactly one bucket,
+        # tie-break identical to the global sort), so the global sort
+        # ranks #buckets × k rows instead of every qualifying order.
         rev = df[df["is_order"] == 0].groupby(
             "l_orderkey", as_index=False
         )["revenue_cents"].sum()
@@ -209,16 +212,26 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         )
         out["o_orderkey"] = out["o_orderkey"].astype("int64")
         out["revenue_cents"] = out["revenue_cents"].astype("int64")
-        return out
+        return out.sort_values(
+            ["revenue_cents", "o_orderkey"], ascending=[False, True]
+        ).head(k)
 
     from ..functions.grouping import bucketed_group_apply
 
     per_order = bucketed_group_apply(
         markers.union(partials), "l_orderkey", merge
     )
-    return per_order.sort(
-        ["revenue_cents", "o_orderkey"], descending=[True, False]
-    ).limit(k)
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_cents", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    # survivors are ≤ #buckets × k rows: one coalesced block sorts them
+    # in-task, skipping a full Sort all-to-all over tiny blocks
+    return per_order.repartition(1).map_batches(
+        global_topk, batch_format="pandas", batch_size=None
+    )
 
 
 Q3_SQL = """

@@ -75,3 +75,32 @@ def bucketed_group_apply(ds, keys, fn, n_buckets: int = 64):
         .groupby("__bucket")
         .map_groups(apply_bucket, batch_format="pandas")
     )
+
+
+def coalesced_group_apply(ds, keys, fn):
+    """Single-block group apply for SMALL post-reduce datasets.
+
+    A final ``Dataset.groupby(key).map_groups(fn)`` over a handful of
+    groups (priorities, nations, event types) still pays a full sort
+    all-to-all — ~seconds of fixed coordination for KB of data.  When the
+    input is already bounded (the output of a bucketed reduce:
+    ≤ #buckets × #groups rows), coalescing to ONE block and grouping in
+    pandas is strictly cheaper and scale-safe.
+
+    Use ONLY for finals whose group count is intrinsically small and whose
+    input is a reduce output — never for corpus-cardinality keys (those
+    stay on ``bucketed_group_apply``).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def apply_all(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame()
+        outs = [fn(g) for _, g in df.groupby(keys, sort=False)]
+        return (
+            pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+        )
+
+    return ds.repartition(1).map_batches(
+        apply_all, batch_format="pandas", batch_size=None
+    )

@@ -215,9 +215,10 @@ def events_user_hll(sf_dir: str):
             }
         )
 
-    return partials.groupby("event_type").map_groups(
-        merge, batch_format="pandas"
-    )
+    from .grouping import coalesced_group_apply
+
+    # #batches x #types fixed-size register rows: single-block merge
+    return coalesced_group_apply(partials, "event_type", merge)
 
 
 def docs_top_tokens_mg(sf_dir: str, k: int = 20, counters: int = 256):

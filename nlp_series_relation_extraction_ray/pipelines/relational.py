@@ -88,8 +88,11 @@ def q1_pricing_summary(sf_dir: str):
             out[c] = int(df[c].sum())
         return out
 
-    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        merge, batch_format="pandas"
+    from ..functions.grouping import coalesced_group_apply
+
+    # partials are #batches × 6 rows: single-block final, no sort shuffle
+    return coalesced_group_apply(
+        partials, ["l_returnflag", "l_linestatus"], merge
     )
 
 
@@ -397,10 +400,11 @@ def parts_brand_stats(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("p_brand")
-        .map_groups(merge, batch_format="pandas")
+    from ..functions.grouping import coalesced_group_apply
+
+    # 25 brands × #batches partial rows: single-block final
+    return coalesced_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "p_brand", merge
     )
 
 
@@ -1026,10 +1030,10 @@ def orders_priority_exists(sf_dir: str, returnflag: str = "R"):
             }
         )
 
-    return (
-        per_bucket.groupby("o_orderpriority")
-        .map_groups(final, batch_format="pandas")
-    )
+    from ..functions.grouping import coalesced_group_apply
+
+    # 5 priorities x #buckets pre-counts: single-block final
+    return coalesced_group_apply(per_bucket, "o_orderpriority", final)
 
 
 PRIORITY_EXISTS_SQL = """
@@ -1262,9 +1266,10 @@ def events_distinct_users(sf_dir: str):
             }
         )
 
-    return per_bucket.groupby("event_type").map_groups(
-        final, batch_format="pandas"
-    )
+    from ..functions.grouping import coalesced_group_apply
+
+    # #types x #buckets pre-counts: single-block final
+    return coalesced_group_apply(per_bucket, "event_type", final)
 
 
 DISTINCT_USERS_SQL = """
@@ -1450,9 +1455,10 @@ def q5_local_supplier_revenue(
             }
         )
 
-    return per_bucket.groupby("nationkey").map_groups(
-        final, batch_format="pandas"
-    )
+    from ..functions.grouping import coalesced_group_apply
+
+    # #nations x #buckets partials: single-block final
+    return coalesced_group_apply(per_bucket, "nationkey", final)
 
 
 Q5_FULL_SQL = """
@@ -1533,9 +1539,11 @@ def events_type_quantiles(sf_dir: str):
             row[name] = [int(vals[np.searchsorted(cum, idx + 1)])]
         return pd.DataFrame(row)
 
-    return dist.groupby("event_type").map_groups(
-        quantiles, batch_format="pandas"
-    )
+    from ..functions.grouping import coalesced_group_apply
+
+    # merged distribution is #distinct-cents x #types rows (bounded by
+    # value precision): single-block final walks each type's cumulative
+    return coalesced_group_apply(dist, "event_type", quantiles)
 
 
 TYPE_QUANTILES_SQL = """
@@ -1660,10 +1668,10 @@ def orders_priority_exists_bloom(sf_dir: str, returnflag: str = "R",
             }
         )
 
-    return (
-        per_bucket.groupby("o_orderpriority")
-        .map_groups(final, batch_format="pandas")
-    )
+    from ..functions.grouping import coalesced_group_apply
+
+    # 5 priorities x #buckets pre-counts: single-block final
+    return coalesced_group_apply(per_bucket, "o_orderpriority", final)
 
 
 # the Bloom pre-filter is an exact-result optimization: same oracle

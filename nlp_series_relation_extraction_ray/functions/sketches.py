@@ -297,8 +297,14 @@ def docs_top_tokens_mg(sf_dir: str, k: int = 20, counters: int = 256):
             }
         )
 
-    return (
-        merged.map_batches(explode, batch_format="pyarrow")
-        .sort(["mg_count", "token"], descending=[True, False])
-        .limit(k)
+    def topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["mg_count", "token"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # the fold output is ONE summary row (≤ counters entries): explode and
+    # rank it in-task — a Sort all-to-all over one tiny block buys nothing
+    return merged.map_batches(explode, batch_format="pyarrow").map_batches(
+        topk, batch_format="pyarrow", batch_size=None
     )

@@ -1820,11 +1820,14 @@ def q10_returned_revenue(
 
     from ..functions.grouping import bucketed_group_apply
 
+    # survivors are ≤ #buckets × k rows — rank them in the same driver
+    # collect that late materialization needs anyway (no Sort all-to-all)
     ranked = (
         bucketed_group_apply(joined, "o_custkey", topk_bucket)
-        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
-        .limit(k)
         .to_pandas()
+        .sort_values(["revenue_cents", "o_custkey"],
+                     ascending=[False, True])
+        .head(k)
     )
 
     # late materialization: fetch names for exactly the k winners

@@ -433,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_lang_source_rollup": rel.docs_lang_source_rollup,
             "docs_top_tokens": rel.docs_top_tokens,
             "docs_top2_per_lang": rel.docs_top2_per_lang,
+            # tf-idf term ranking: broadcast corpus df + row-local rank
+            "docs_tfidf_terms": rel.docs_tfidf_terms,
             "events_value_median": rel.events_value_median,
             "parts_brand_stats": rel.parts_brand_stats,
             "docs_train_test_split": lambda sf: ts.train_test_split(_docs(sf)),
@@ -462,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _docs(sf), dd.simhash_near_dup_pairs(_docs(sf))
             ),
             "emb_dup_pairs": _emb_dups,
+            # GPT-3-style eval-set decontamination: n-gram collision vs a
+            # broadcast benchmark n-gram set (benchmark = doc_id % 97 == 0)
+            "docs_decontaminate": lambda sf: dd.decontaminate(_docs(sf)),
             # text analysis
             "docs_token_stats": lambda sf: ts.token_stats(_docs(sf)),
             # Gopher-style duplicate-n-gram repetition signals
@@ -469,6 +474,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_quality": lambda sf: ts.quality_stats(_docs(sf)),
             "docs_langid": lambda sf: ts.langid(_docs(sf)),
             "docs_fingerprints": lambda sf: ts.fingerprints(_docs(sf)),
+            # PII redaction over deterministically-planted emails/IPv4s
+            "docs_pii_redact":
+                lambda sf: ts.pii_redact(ts.plant_pii(_docs(sf))),
             # similarity search
             "emb_knn_bruteforce": lambda sf: sim.knn_bruteforce(
                 _embs(sf), queries=_query_matrix(sf)
@@ -576,11 +584,14 @@ SELECT node, COUNT(*) AS n_triangles FROM (
         "docs_repetition": ts.REPETITION_SQL,
         "docs_top_tokens": rel.TOP_TOKENS_SQL,
         "docs_top2_per_lang": rel.TOP2_PER_LANG_SQL,
+        "docs_tfidf_terms": rel.TFIDF_TERMS_SQL,
         "events_value_median": rel.VALUE_MEDIAN_SQL,
         "parts_brand_stats": rel.PARTS_SQL,
         "docs_train_test_split": ts.train_test_split_sql(),
         "docs_exact_dedup": dd.EXACT_DEDUP_SQL,
         "docs_ngram_jaccard": dd.NGRAM_JACCARD_SQL,
+        "docs_decontaminate": dd.DECONTAMINATE_SQL,
+        "docs_pii_redact": ts.PII_REDACT_SQL,
         "docs_dup_clusters": dd.dup_clusters_sql(dd.NGRAM_JACCARD_SQL),
         "docs_clean_corpus": _clean_corpus_sql(),
         "docs_dedup_keep": dd.dedup_keep_sql(dd.NGRAM_JACCARD_SQL),

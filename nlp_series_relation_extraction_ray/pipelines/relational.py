@@ -1924,3 +1924,99 @@ SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
   COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP(lang, source)
 """
+
+
+# --- TF-IDF term ranking (corpus-wide df broadcast + row-local rank) ------
+
+
+def docs_tfidf_terms(sf_dir: str, k: int = 3):
+    """Top-k distinctive terms per document, ranked by (tf DESC, df ASC,
+    token ASC) — the tf-idf ordering (frequent in the doc, rare across the
+    corpus) kept integer-exact so the SQL oracle matches value-for-value.
+
+    Two-phase shape: document frequencies are built with an in-batch
+    distinct-per-doc combiner and one vocab-cardinality reduce, then the
+    (bounded — natural-language vocab, or top-V truncated at corpus scale)
+    df table is broadcast via ``ray.put`` and the per-doc ranking is a
+    row-local map.  No per-doc shuffle: the corpus streams once for df and
+    once for ranking."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(set(t.split(" ")))
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def df_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", as_index=False)["df"].sum()
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    df_tbl = bucketed_group_apply(
+        ds.map_batches(df_partial, batch_format="pyarrow"), "token", df_merge
+    ).to_pandas()
+    dref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..stages.base import worker_cached
+
+        dfs = worker_cached(("tfidf_df", dref.hex()), lambda: ray.get(dref))
+        out = {"doc_id": [], "rank": [], "token": [], "tf": [], "df": []}
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            tf = Counter(t.split(" "))
+            ranked = sorted(
+                tf.items(), key=lambda kv: (-kv[1], dfs[kv[0]], kv[0])
+            )[:k]
+            for r, (tok, cnt) in enumerate(ranked, 1):
+                out["doc_id"].append(did)
+                out["rank"].append(r)
+                out["token"].append(tok)
+                out["tf"].append(cnt)
+                out["df"].append(dfs[tok])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int64()),
+                "token": pa.array(out["token"], pa.string()),
+                "tf": pa.array(out["tf"], pa.int64()),
+                "df": pa.array(out["df"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+TFIDF_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+r AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df, tf.token) AS rn
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, token, tf, df
+FROM r WHERE rn <= 3
+"""

@@ -839,3 +839,114 @@ def dedup_keep_sql(pairs_sql: str) -> str:
 SELECT cluster_id, MIN(doc_id) AS keep_doc_id,
   COUNT(*) AS n_members
 FROM clusters GROUP BY cluster_id"""
+
+
+# ---- benchmark decontamination -------------------------------------------
+
+DECON_N = 4  # n-gram order: production decontamination uses 8-13-grams
+# (GPT-3, Brown et al. 2020 appx. C); the synthetic vocabulary is ~30 words
+# so 4-grams give a comparable collision profile at test scale
+DECON_BENCH_MOD = 97  # "benchmark" = docs with doc_id % 97 == 0
+
+
+def _distinct_word_ngrams(text: str, n: int) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def benchmark_ngram_set(
+    docs_ds, n: int = DECON_N, bench_mod: int = DECON_BENCH_MOD
+) -> set[str]:
+    """Distinct word n-grams of the benchmark documents, collected on the
+    driver.  The benchmark side of decontamination is genuinely tiny (eval
+    suites are MBs against a 100 TB corpus — in production it arrives as
+    its own small input, not a filter over the corpus), so collect + one
+    ``ray.put`` broadcast is the scale-correct shape; only the corpus-side
+    membership check streams."""
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out: set[str] = set()
+        for did, t in zip(ids, texts):
+            if did % bench_mod == 0:
+                out |= _distinct_word_ngrams(t, n)
+        return pa.Table.from_pydict({"gram": pa.array(sorted(out),
+                                                      pa.string())})
+
+    bench: set[str] = set()
+    for b in docs_ds.map_batches(grams, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bench.update(b["gram"].to_pylist())
+    return bench
+
+
+def decontaminate(
+    docs_ds, n: int = DECON_N, bench_mod: int = DECON_BENCH_MOD
+):
+    """(doc_id, n_grams, n_hit_grams, contaminated) for every NON-benchmark
+    document: how many of its distinct word n-grams collide with the
+    broadcast benchmark n-gram set (GPT-3-style eval-set decontamination).
+    Row-local membership map against a broadcast set — no shuffle; the
+    corpus side streams."""
+    import ray
+
+    bref = ray.put(benchmark_ngram_set(docs_ds, n, bench_mod))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .base import worker_cached
+
+        bench = worker_cached(("decon_bench", bref.hex()),
+                              lambda: ray.get(bref))
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = {"doc_id": [], "n_grams": [], "n_hit_grams": [],
+               "contaminated": []}
+        for did, t in zip(ids, texts):
+            if did % bench_mod == 0:
+                continue
+            g = _distinct_word_ngrams(t, n)
+            hits = len(g & bench)
+            out["doc_id"].append(did)
+            out["n_grams"].append(len(g))
+            out["n_hit_grams"].append(hits)
+            out["contaminated"].append(hits > 0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_grams": pa.array(out["n_grams"], pa.int64()),
+                "n_hit_grams": pa.array(out["n_hit_grams"], pa.int64()),
+                "contaminated": pa.array(out["contaminated"], pa.bool_()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+DECONTAMINATE_SQL = f"""
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, len(string_split(text, ' ')) - {DECON_N - 1}),
+    i -> array_to_string(string_split(text, ' ')[i:i + {DECON_N - 1}], ' ')
+  )) AS grams
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g
+  WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+d AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+  WHERE doc_id % {DECON_BENCH_MOD} <> 0
+),
+hits AS (
+  SELECT d.doc_id, COUNT(b.gram) AS n_hit
+  FROM d LEFT JOIN bench b USING (gram) GROUP BY d.doc_id
+)
+SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+  COALESCE(h.n_hit, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+"""

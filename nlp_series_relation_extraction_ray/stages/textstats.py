@@ -323,3 +323,86 @@ SELECT doc_id,
        ELSE 'test' END AS split
 FROM documents
 """
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# simple RE2-compatible patterns so the DuckDB oracle (regexp_replace /
+# regexp_extract_all) matches the Python `re` semantics byte-for-byte
+PII_EMAIL_PAT = r"[A-Za-z0-9_.]+@[A-Za-z0-9_.]+"
+PII_IP_PAT = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+_PII_EMAIL_RE = re.compile(PII_EMAIL_PAT)
+_PII_IP_RE = re.compile(PII_IP_PAT)
+
+
+def plant_pii(docs_ds):
+    """Deterministically append synthetic PII (emails / IPv4s) to a subset
+    of documents, as a pure function of ``doc_id`` — the raw corpus has no
+    PII, so redaction would be vacuous without planting.  Mirrored exactly
+    by the oracle's planting CTE."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for did, t in zip(ids, texts):
+            if did % 7 == 0:
+                t += f" contact user{did}@example.com now"
+            if did % 11 == 0:
+                t += f" from 10.0.{did % 256}.1 logged"
+            out.append(t)
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def pii_redact(docs_ds):
+    """(doc_id, clean_text, n_emails, n_ips): regex PII redaction — emails
+    then IPv4 addresses replaced with typed placeholders; counts measured
+    on the original text.  Row-local compiled-regex map (no shuffle); at
+    100 TB this is a pure streaming stage."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        clean, n_emails, n_ips = [], [], []
+        for t in texts:
+            n_emails.append(len(_PII_EMAIL_RE.findall(t)))
+            n_ips.append(len(_PII_IP_RE.findall(t)))
+            t = _PII_EMAIL_RE.sub("<EMAIL>", t)
+            t = _PII_IP_RE.sub("<IP>", t)
+            clean.append(t)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": pa.array(clean, pa.string()),
+                "n_emails": pa.array(n_emails, pa.int64()),
+                "n_ips": pa.array(n_ips, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+PII_REDACT_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN ' from 10.0.' || (doc_id % 256) || '.1 logged' ELSE '' END
+    AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(text, '{PII_EMAIL_PAT}', '<EMAIL>', 'g'),
+    '{PII_IP_PAT}', '<IP>', 'g') AS clean_text,
+  len(regexp_extract_all(text, '{PII_EMAIL_PAT}')) AS n_emails,
+  len(regexp_extract_all(text, '{PII_IP_PAT}')) AS n_ips
+FROM planted
+"""

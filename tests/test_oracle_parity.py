@@ -90,6 +90,9 @@ def _check(entry_mod, con, name):
         "docs_posting_lists",
         "docs_lang_source_rollup",
         "docs_repetition",
+        "docs_decontaminate",
+        "docs_pii_redact",
+        "docs_tfidf_terms",
         "docs_top_tokens",
         "docs_top2_per_lang",
         "events_value_median",

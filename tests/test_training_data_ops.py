@@ -692,3 +692,49 @@ def test_repetition_flag_rule(ray_session, tmp_path):
     assert got.loc[1, "n_distinct_words"] == 7
     assert got.loc[2, "n_words"] == 4
     assert got.loc[2, "n_distinct_words"] == 2
+
+
+def test_decontaminate_flags_ngram_overlap(docs):
+    """Non-benchmark docs sharing a 4-gram with a benchmark doc (doc_id %
+    97 == 0) are flagged; benchmark docs are excluded from the output."""
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        DECON_BENCH_MOD,
+        _distinct_word_ngrams,
+        benchmark_ngram_set,
+        decontaminate,
+    )
+
+    out = decontaminate(docs).to_pandas().set_index("doc_id")
+    texts = docs.to_pandas().set_index("doc_id")["text"]
+    assert not any(i % DECON_BENCH_MOD == 0 for i in out.index)
+    assert len(out) == sum(1 for i in texts.index if i % DECON_BENCH_MOD)
+    bench = benchmark_ngram_set(docs)
+    for did in list(out.index)[:50]:
+        g = _distinct_word_ngrams(texts[did], 4)
+        assert out.loc[did, "n_grams"] == len(g)
+        assert out.loc[did, "n_hit_grams"] == len(g & bench)
+        assert out.loc[did, "contaminated"] == (len(g & bench) > 0)
+    assert out["contaminated"].any()  # synthetic vocab guarantees overlap
+
+
+def test_pii_redact_planted(docs):
+    """Planted emails/IPs are counted and fully scrubbed; untouched docs
+    pass through byte-identical."""
+    from nlp_series_relation_extraction_ray.stages.textstats import (
+        pii_redact,
+        plant_pii,
+    )
+
+    out = pii_redact(plant_pii(docs)).to_pandas().set_index("doc_id")
+    texts = docs.to_pandas().set_index("doc_id")["text"]
+    for did, row in out.iterrows():
+        assert "@" not in row["clean_text"]
+        if did % 7 == 0:
+            assert row["n_emails"] == 1
+            assert "<EMAIL>" in row["clean_text"]
+        if did % 11 == 0:
+            assert row["n_ips"] == 1
+            assert "<IP>" in row["clean_text"]
+        if did % 7 and did % 11:
+            assert row["clean_text"] == texts[did]
+            assert row["n_emails"] == 0 and row["n_ips"] == 0

@@ -184,6 +184,9 @@ def bench_queries(sf_dir: str) -> dict:
         "docs_posting_lists",
         "docs_lang_source_rollup",
         "docs_repetition",
+        "docs_decontaminate",
+        "docs_pii_redact",
+        "docs_tfidf_terms",
         "kg_triangles",
         "kg_pagerank",
     ]

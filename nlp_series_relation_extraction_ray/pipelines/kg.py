@@ -149,7 +149,44 @@ def kg_node_degrees(edges_ds):
     return bucketed_group_apply(partials, "entity_id", merge)
 
 
-def kg_triangles(edges_ds):
+def _local_triangles(pdf: pd.DataFrame):
+    """Driver-local degree-ordered triangle count over a bounded canonical
+    pair list — same orientation rule and output schema as the distributed
+    plan in :func:`kg_triangles`."""
+    from collections import Counter, defaultdict
+
+    import ray
+
+    deg: Counter = Counter()
+    edge_set = set(zip(pdf["u"], pdf["v"]))  # canonical: u < v (as str)
+    for u, v in edge_set:
+        deg[u] += 1
+        deg[v] += 1
+    fwd: defaultdict = defaultdict(list)
+    for u, v in edge_set:
+        if (deg[u], u) < (deg[v], v):
+            fwd[u].append(v)
+        else:
+            fwd[v].append(u)
+    tri: Counter = Counter()
+    for s, nbrs in fwd.items():
+        nbrs = sorted(nbrs)
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                a, b = nbrs[i], nbrs[j]
+                key = (a, b) if a < b else (b, a)
+                if key in edge_set:
+                    tri[s] += 1
+                    tri[a] += 1
+                    tri[b] += 1
+    out = pd.DataFrame(
+        {"node": pd.Series(list(tri.keys()), dtype=str),
+         "n_triangles": pd.Series(list(tri.values()), dtype="int64")}
+    )
+    return ray.data.from_pandas(out)
+
+
+def kg_triangles(edges_ds, small_edge_limit: int = 2_000_000):
     """Per-node triangle counts over the undirected KG entity graph —
     degree-ordered distributed triangle enumeration.
 
@@ -172,6 +209,13 @@ def kg_triangles(edges_ds):
     6. per-node count (bucketed reduce).
 
     Oracle: 3-way self-join over the same canonical pair set in DuckDB.
+
+    Size-gated plan (the PageRank pattern): entity graphs are edge-dedup
+    OUTPUTS and typically fit far under ``small_edge_limit`` canonical
+    pairs even when the mention corpus is 100 TB; below the gate the
+    degree-ordered enumeration runs driver-local on the collected pair
+    list (identical algorithm and output), above it the full 6-stage
+    distributed plan runs.
     """
     from ..functions.grouping import bucketed_group_apply
     from ..functions.joins import shuffle_join
@@ -191,6 +235,9 @@ def kg_triangles(edges_ds):
         edges_ds.map_batches(to_pairs, batch_format="pandas"), ["u", "v"],
         dedup,
     ).materialize()
+
+    if pairs.count() <= small_edge_limit:
+        return _local_triangles(pairs.to_pandas())
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.concat([df["u"], df["v"]], ignore_index=True)

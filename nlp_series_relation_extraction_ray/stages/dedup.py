@@ -683,7 +683,8 @@ def embedding_dup_pairs(
 # ---- near-dup clustering (connected components over the pair graph) ------
 
 
-def dup_clusters(docs_ds, pairs_ds, max_iters: int = 25):
+def dup_clusters(docs_ds, pairs_ds, max_iters: int = 25,
+                 small_edge_limit: int = 2_000_000):
     """(doc_id, cluster_id) — connected components of the near-dup pair
     graph; ``cluster_id`` is the minimum doc_id in the component (docs in
     no pair are their own singleton cluster).  This is the operator that
@@ -701,6 +702,13 @@ def dup_clusters(docs_ds, pairs_ds, max_iters: int = 25):
     labels to the full doc table (converged label ≤ doc_id, so the attach
     is a plain min over {self-row, label-row}) — the ONLY corpus-wide
     shuffle in the operator.  Nothing corpus-sized touches the driver.
+
+    Size-gated plan (the PageRank pattern): when the pair graph is small
+    (``<= small_edge_limit`` directed edges — the NORMAL dedup regime,
+    near-dup pairs are a sliver of any corpus), the bounded edge list is
+    collected and union-find runs on the driver, replacing O(diameter)
+    shuffle rounds with zero; the corpus-wide attach reduce is unchanged.
+    Output is identical either way (same recursive-CTE oracle).
     """
     from ..functions.grouping import bucketed_group_apply
 
@@ -735,13 +743,44 @@ def dup_clusters(docs_ds, pairs_ds, max_iters: int = 25):
         )
 
     edges = pairs_ds.map_batches(both_dirs, batch_format="pandas")
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import ray
 
         return finish(ray.data.from_pandas(
             pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "label": pd.Series([], dtype="int64")})
         ))
+    if n_edges <= small_edge_limit:
+        import ray
+
+        ep = edges.to_pandas()  # bounded by small_edge_limit
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(ep["src"].to_numpy(), ep["dst"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by min: the root is always the component minimum,
+                # which is exactly the converged propagation label
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        nodes = sorted(parent.keys() | set(
+            int(x) for x in ep["src"].to_numpy()
+        ))
+        return finish(ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series(nodes, dtype="int64"),
+             "label": pd.Series([find(n) for n in nodes], dtype="int64")}
+        )))
     edges = edges.materialize()
 
     # init == round 1: label(u) = min(u, neighbors(u)) per incident node

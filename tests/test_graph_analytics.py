@@ -98,3 +98,16 @@ def test_kg_pagerank_uniform_on_symmetric_cycle(ray_session):
     cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
     got = kg_pagerank(_edges_ds(cyc), n_iter=4).to_pandas()
     assert np.allclose(got["rank"], 0.25, atol=1e-12)
+
+
+def test_kg_triangles_distributed_path_matches_local(ray_session):
+    """small_edge_limit=0 forces the 6-stage distributed plan; it must be
+    value-identical to the size-gated driver-local fast path."""
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_triangles
+
+    k4 = [(u, v) for i, u in enumerate("abcd") for v in "abcd"[i + 1:]]
+    edges = k4 + [("e", "d"), ("x", "y"), ("y", "z"), ("x", "z")]
+    local = kg_triangles(_edges_ds(edges)).to_pandas()
+    dist = kg_triangles(_edges_ds(edges), small_edge_limit=0).to_pandas()
+    key = lambda df: df.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(local), key(dist[local.columns]))

@@ -738,3 +738,24 @@ def test_pii_redact_planted(docs):
         if did % 7 and did % 11:
             assert row["clean_text"] == texts[did]
             assert row["n_emails"] == 0 and row["n_ips"] == 0
+
+
+def test_dup_clusters_distributed_path_matches_fast(ray_session):
+    """small_edge_limit=0 forces the shuffle-round propagation loop; it
+    must match the union-find fast path on a multi-hop chain graph."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import dup_clusters
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(12, dtype=np.int64)})
+    )
+    pairs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_a": [0, 1, 2, 7], "doc_b": [1, 2, 3, 9]}
+        ).astype("int64")
+    )
+    fast = dup_clusters(docs, pairs).to_pandas()
+    dist = dup_clusters(docs, pairs, small_edge_limit=0).to_pandas()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(fast), key(dist))

@@ -208,6 +208,12 @@ def _kg_pagerank(sf_dir: str):
     return kg_pagerank(_kg_edges_checkpoint(sf_dir))
 
 
+def _kg_components(sf_dir: str):
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_components
+
+    return kg_components(_kg_edges_checkpoint(sf_dir))
+
+
 def _dup_clusters(sf_dir: str):
     from nlp_series_relation_extraction_ray.stages import dedup as dd
 
@@ -385,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only; fixed-point pinned vs a dense reference in pytest)
         "kg_triangles": _kg_triangles,
         "kg_pagerank": _kg_pagerank,
+        # weakly-connected components of the entity graph (SQL-exact vs a
+        # recursive-CTE transitive closure, like docs_dup_clusters)
+        "kg_components": _kg_components,
     }
 
     from nlp_series_relation_extraction_ray.pipelines import relational as rel
@@ -477,6 +486,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # PII redaction over deterministically-planted emails/IPv4s
             "docs_pii_redact":
                 lambda sf: ts.pii_redact(ts.plant_pii(_docs(sf))),
+            # fixed-size token chunking (RAG / training sequence prep)
+            "docs_chunks": lambda sf: ts.chunk_documents(_docs(sf)),
+            # deterministic per-language stratified sampling
+            "docs_stratified_sample":
+                lambda sf: ts.stratified_sample(_docs(sf)),
+            # substring-level dup pairs (Lee et al. 2022 flavor): sampled
+            # char-gram fingerprints over planted shared boilerplate
+            "docs_substring_dup": lambda sf: dd.substring_dup_pairs(
+                dd.plant_boilerplate(_docs(sf))
+            ),
             # similarity search
             "emb_knn_bruteforce": lambda sf: sim.knn_bruteforce(
                 _embs(sf), queries=_query_matrix(sf)
@@ -559,6 +578,16 @@ SELECT node, COUNT(*) AS n_triangles FROM (
   UNION ALL SELECT b FROM tri
   UNION ALL SELECT c FROM tri
 ) GROUP BY node""",
+        "kg_components": f"""WITH RECURSIVE e0 AS ({fsql.kg_edges_sql()}),
+p AS (SELECT DISTINCT LEAST(src_id, dst_id) AS u,
+             GREATEST(src_id, dst_id) AS v FROM e0),
+e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+r(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.u, r.v FROM e JOIN r ON e.v = r.u
+)
+SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "suppliers_per_region": rel.Q5_SQL,
@@ -592,6 +621,9 @@ SELECT node, COUNT(*) AS n_triangles FROM (
         "docs_ngram_jaccard": dd.NGRAM_JACCARD_SQL,
         "docs_decontaminate": dd.DECONTAMINATE_SQL,
         "docs_pii_redact": ts.PII_REDACT_SQL,
+        "docs_chunks": ts.CHUNK_SQL,
+        "docs_stratified_sample": ts.STRATIFIED_SAMPLE_SQL,
+        "docs_substring_dup": dd.SUBSTRING_DUP_SQL,
         "docs_dup_clusters": dd.dup_clusters_sql(dd.NGRAM_JACCARD_SQL),
         "docs_clean_corpus": _clean_corpus_sql(),
         "docs_dedup_keep": dd.dedup_keep_sql(dd.NGRAM_JACCARD_SQL),

@@ -989,3 +989,129 @@ SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
 FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
 WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
 """
+
+
+# ---- substring-level duplication (sampled char-gram fingerprints) ---------
+
+SUBSTR_GRAM = 40  # char-gram length
+SUBSTR_MAX_DF = 64  # grams in more docs than this are boilerplate noise
+_SUBSTR_PLANT_MOD = 13
+
+
+def plant_boilerplate(docs_ds, mod: int = _SUBSTR_PLANT_MOD):
+    """Deterministically append a shared boilerplate block to doc pairs
+    (docs ``13k`` and ``13k+1`` share block ``k``) — substring-level
+    duplication the document-level kernels cannot see, as a pure function
+    of ``doc_id`` (mirrored by the oracle's planting CTE)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for did, t in zip(ids, texts):
+            if did % mod <= 1:
+                block = f"COMMON-BOILERPLATE-NOTICE-{did // mod} " * 3
+                t = f"{t} {block}"
+            out.append(t)
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def substring_dup_pairs(docs_ds, gram: int = SUBSTR_GRAM,
+                        max_df: int = SUBSTR_MAX_DF):
+    """(doc_a, doc_b, n_shared): doc pairs sharing sampled ``gram``-char
+    substrings — substring-level dedup à la "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al. 2022), which document-level
+    MinHash misses (a license header pasted into otherwise-different docs).
+
+    CONTENT-DEFINED sampling (the winnowing/MOSS family): a position's
+    char-gram is kept iff ``md5(gram)`` starts with hex ``'0'`` (1/16) —
+    selection depends only on the substring's bytes, so the same shared
+    block samples the same grams in every doc regardless of its offset
+    (position-strided sampling would misalign across docs).  md5 keeps the
+    DuckDB oracle exact.
+
+    Scale shape: per-row gram emission (distinct per doc) → one
+    gram-keyed bucketed reduce (df filter ``2..max_df`` bounds every
+    group's pair cartesian, exactly the LSH ``max_bucket`` pattern —
+    ultra-common grams are boilerplate noise, not dup signal) → one
+    pair-keyed reduce summing shared-gram counts.  Two shuffles, nothing
+    on the driver."""
+    from ..functions.grouping import bucketed_group_apply
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_g, out_id = [], []
+        ids = batch["doc_id"].to_pylist()
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            seen = set()
+            for i in range(len(t) - gram + 1):
+                g = t[i : i + gram]
+                if g not in seen and hashlib.md5(
+                    g.encode()
+                ).hexdigest().startswith("0"):
+                    seen.add(g)
+            out_g.extend(seen)
+            out_id.extend([did] * len(seen))
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+    grams = docs_ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    def gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["g", "doc_id"])
+        sz = d.groupby("g")["doc_id"].transform("size")
+        d = d[(sz >= 2) & (sz <= max_df)]
+        p = d.merge(d, on="g", suffixes=("_a", "_b"))
+        p = p.loc[p["doc_id_a"] < p["doc_id_b"], ["doc_id_a", "doc_id_b"]]
+        out = p.groupby(["doc_id_a", "doc_id_b"], as_index=False).size()
+        out.columns = ["doc_a", "doc_b", "n_shared"]
+        return out.astype("int64")
+
+    per_gram = bucketed_group_apply(grams, "g", gram_pairs)
+
+    def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["doc_a", "doc_b"], as_index=False)["n_shared"].sum()
+        return out.astype("int64")
+
+    return bucketed_group_apply(per_gram, ["doc_a", "doc_b"], merge_pairs)
+
+
+SUBSTRING_DUP_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {_SUBSTR_PLANT_MOD} <= 1
+      THEN text || ' ' || repeat(
+        'COMMON-BOILERPLATE-NOTICE-'
+        || CAST(doc_id // {_SUBSTR_PLANT_MOD} AS VARCHAR) || ' ', 3)
+      ELSE text END AS text
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, text,
+    unnest(generate_series(1, len(text) - {SUBSTR_GRAM - 1})) AS i
+  FROM planted
+),
+dg AS (
+  SELECT DISTINCT doc_id, substr(text, i, {SUBSTR_GRAM}) AS g
+  FROM pos
+  WHERE substr(md5(substr(text, i, {SUBSTR_GRAM})), 1, 1) = '0'
+),
+keep AS (
+  SELECT g FROM dg GROUP BY g
+  HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  COUNT(DISTINCT a.g) AS n_shared
+FROM dg a JOIN keep USING (g) JOIN dg b USING (g)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""

@@ -406,3 +406,107 @@ SELECT doc_id,
   len(regexp_extract_all(text, '{PII_IP_PAT}')) AS n_ips
 FROM planted
 """
+
+
+# --- fixed-size token chunking (RAG / training sequence prep) --------------
+
+
+def chunk_documents(docs_ds, chunk_tokens: int = 64):
+    """(doc_id, chunk_idx, chunk_text, n_tokens): split every document into
+    fixed-size non-overlapping whitespace-token chunks — the sequence-prep
+    step feeding training/embedding jobs.  Pure per-row ``flat_map`` (no
+    shuffle; a 100 TB corpus streams through block by block); token
+    boundaries mirror DuckDB ``string_split(text, ' ')`` exactly (empty
+    tokens preserved) so the oracle matches byte-for-byte."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_text, out_n = [], [], [], []
+        ids = batch["doc_id"].to_pylist()
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            toks = t.split(" ")
+            n_chunks = -(-len(toks) // chunk_tokens)
+            for i in range(n_chunks):
+                piece = toks[i * chunk_tokens : (i + 1) * chunk_tokens]
+                out_id.append(did)
+                out_idx.append(i)
+                out_text.append(" ".join(piece))
+                out_n.append(len(piece))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int = 64) -> str:
+    c = chunk_tokens
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ex AS (SELECT doc_id, toks,
+         unnest(generate_series(0,
+           CAST(ceil(len(toks) / {c}.0) AS INT) - 1)) AS i
+       FROM t)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+  array_to_string(list_slice(toks, i * {c} + 1, (i + 1) * {c}), ' ')
+    AS chunk_text,
+  CAST(len(list_slice(toks, i * {c} + 1, (i + 1) * {c})) AS BIGINT)
+    AS n_tokens
+FROM ex
+"""
+
+
+CHUNK_SQL = chunk_documents_sql()
+
+
+# --- stratified sampling ---------------------------------------------------
+
+# per-stratum keep rates (percent): downsample the dominant language so the
+# sampled corpus is roughly language-balanced; unlisted langs keep all rows
+STRATA_RATES: dict[str, int] = {"en": 30}
+_SAMPLE_MULT = 2246822519  # decorrelated from the split hash multiplier
+
+
+def stratified_sample(docs_ds, rates: dict[str, int] | None = None):
+    """(doc_id, lang, n_chars): deterministic per-stratum hash sampling —
+    each language keeps ``rates[lang]`` percent of its rows (default 100),
+    decided by a stable multiplicative hash of ``doc_id`` so membership
+    never changes as the corpus grows (same requirement as
+    :func:`train_test_split`; a ``random_sample`` re-deals every run).
+    Pure per-row filter: no shuffle, no driver state — the 100 TB shape."""
+    rates = STRATA_RATES if rates is None else rates
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = batch.to_pandas()
+        ids = df["doc_id"].to_numpy(dtype=np.uint64)
+        bucket = ((ids * _SAMPLE_MULT) % _SPLIT_MOD) % 100
+        rate = df["lang"].map(lambda lg: rates.get(lg, 100)).to_numpy()
+        keep = df[bucket < rate][["doc_id", "lang", "n_chars"]]
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    return docs_ds.select_columns(["doc_id", "lang", "n_chars"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def stratified_sample_sql(rates: dict[str, int] | None = None) -> str:
+    rates = STRATA_RATES if rates is None else rates
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN {r}" for lg, r in sorted(rates.items())
+    )
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (doc_id * {_SAMPLE_MULT}) % {_SPLIT_MOD} % 100
+      < (CASE {cases} ELSE 100 END)
+"""
+
+
+STRATIFIED_SAMPLE_SQL = stratified_sample_sql()

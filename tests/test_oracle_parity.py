@@ -70,6 +70,7 @@ def _check(entry_mod, con, name):
         "kg_edges",
         "kg_node_degrees",
         "kg_triangles",
+        "kg_components",
         "q1_pricing_summary",
         "q3_top_orders",
         "suppliers_per_region",
@@ -92,6 +93,9 @@ def _check(entry_mod, con, name):
         "docs_repetition",
         "docs_decontaminate",
         "docs_pii_redact",
+        "docs_chunks",
+        "docs_stratified_sample",
+        "docs_substring_dup",
         "docs_tfidf_terms",
         "docs_top_tokens",
         "docs_top2_per_lang",

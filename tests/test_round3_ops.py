@@ -1,0 +1,152 @@
+"""Round-3 operators: kg_components (both plans), fixed-size chunking,
+stratified sampling, substring-level dup pairs."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _edges_ds(pairs):
+    import ray
+
+    return ray.data.from_pandas(
+        pd.DataFrame(pairs, columns=["src_id", "dst_id"])
+    )
+
+
+EDGES = [
+    # chain a-b-c-d (multi-hop), separate pair x-y, self-loop z-z,
+    # reversed duplicate edge d->c
+    ("ent_b", "ent_a"), ("ent_b", "ent_c"), ("ent_c", "ent_d"),
+    ("ent_d", "ent_c"), ("ent_x", "ent_y"), ("ent_z", "ent_z"),
+]
+
+EXPECTED = {
+    "ent_a": "ent_a", "ent_b": "ent_a", "ent_c": "ent_a", "ent_d": "ent_a",
+    "ent_x": "ent_x", "ent_y": "ent_x", "ent_z": "ent_z",
+}
+
+
+def test_kg_components_driver_local(ray_session):
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_components
+
+    got = kg_components(_edges_ds(EDGES)).to_pandas()
+    assert dict(zip(got["entity_id"], got["component_id"])) == EXPECTED
+
+
+def test_kg_components_distributed_matches_local(ray_session):
+    """small_edge_limit=0 forces the string-label propagation plan; it must
+    be value-identical to the union-find fast path (incl. the multi-hop
+    chain, which needs >1 propagation round)."""
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_components
+
+    dist = kg_components(_edges_ds(EDGES), small_edge_limit=0).to_pandas()
+    assert dict(zip(dist["entity_id"], dist["component_id"])) == EXPECTED
+
+
+def test_chunk_documents_shapes(ray_session):
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.textstats import (
+        chunk_documents,
+    )
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                # 5 tokens / exactly 3 tokens (one full chunk) / empty text
+                "text": ["a b c d e", "x y z", ""],
+            }
+        )
+    )
+    got = (
+        chunk_documents(docs, chunk_tokens=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert got["chunk_text"].tolist() == ["a b c", "d e", "x y z", ""]
+    assert got["n_tokens"].tolist() == [3, 2, 3, 1]  # ''.split(' ') == ['']
+
+
+def test_stratified_sample_rates_and_stability(ray_session):
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.textstats import (
+        stratified_sample,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(2000),
+            "lang": ["en" if i % 2 == 0 else "zh" for i in range(2000)],
+            "n_chars": [10] * 2000,
+        }
+    )
+    got = stratified_sample(ray.data.from_pandas(df)).to_pandas()
+    en = got[got["lang"] == "en"]
+    zh = got[got["lang"] == "zh"]
+    assert len(zh) == 1000  # unlisted stratum keeps everything
+    assert 230 <= len(en) <= 370  # ~30% of 1000
+
+    # growth stability: membership of existing rows never changes when the
+    # corpus grows (hash of doc_id, not position)
+    bigger = pd.concat(
+        [df, pd.DataFrame({"doc_id": range(2000, 3000), "lang": "en",
+                           "n_chars": 10})],
+        ignore_index=True,
+    )
+    got2 = stratified_sample(ray.data.from_pandas(bigger)).to_pandas()
+    assert set(got["doc_id"]) == set(got2[got2["doc_id"] < 2000]["doc_id"])
+
+
+def test_substring_dup_recovers_planted_blocks(ray_session):
+    """Docs 13k and 13k+1 share a planted boilerplate block; the sampled
+    char-gram detector must recover (nearly all of) those pairs, while two
+    docs with completely disjoint text never pair."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        plant_boilerplate,
+        substring_dup_pairs,
+    )
+
+    n = 260  # 20 planted pair groups
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": range(n),
+                # per-doc unique filler so natural cross-doc sharing is zero
+                "text": [
+                    " ".join(f"tok{i}w{j}" for j in range(40))
+                    for i in range(n)
+                ],
+            }
+        )
+    )
+    got = substring_dup_pairs(plant_boilerplate(docs)).to_pandas()
+    planted = {(13 * k, 13 * k + 1) for k in range(n // 13)}
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    assert found <= planted  # no false pairs on disjoint filler
+    # content-defined 1/16 sampling over ~45 in-block grams: a pair is
+    # missed only if none of its grams sample (p ≈ 0.95 per pair)
+    assert len(found) >= len(planted) - 4
+    assert (got["n_shared"] >= 1).all()
+
+
+def test_substring_dup_df_cap_drops_boilerplate_floods(ray_session):
+    """A gram shared by more docs than max_df is boilerplate noise and must
+    not explode the pair cartesian — the group is dropped entirely."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        substring_dup_pairs,
+    )
+
+    shared = "Z" * 60  # one 60-char run: every 40-gram identical
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(100), "text": [shared] * 100})
+    )
+    got = substring_dup_pairs(docs, max_df=8).to_pandas()
+    assert len(got) == 0

@@ -491,6 +491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # deterministic per-language stratified sampling
             "docs_stratified_sample":
                 lambda sf: ts.stratified_sample(_docs(sf)),
+            # bottom-k hash sampling (distributed reservoir stand-in)
+            "docs_bottomk_sample": lambda sf: ts.bottomk_sample(_docs(sf)),
             # substring-level dup pairs (Lee et al. 2022 flavor): sampled
             # char-gram fingerprints over planted shared boilerplate
             "docs_substring_dup": lambda sf: dd.substring_dup_pairs(
@@ -521,6 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # test_sketches.py)
             "events_user_hll": sk.events_user_hll,
             "docs_top_tokens_mg": sk.docs_top_tokens_mg,
+            # histogram-quantile sketch: the constant-shuffle counterpart
+            # of the exact events_type_quantiles distribution reduce
+            "events_value_quantiles_hist": sk.events_value_quantiles_hist,
         }
     )
     return q
@@ -623,6 +628,7 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "docs_pii_redact": ts.PII_REDACT_SQL,
         "docs_chunks": ts.CHUNK_SQL,
         "docs_stratified_sample": ts.STRATIFIED_SAMPLE_SQL,
+        "docs_bottomk_sample": ts.BOTTOMK_SAMPLE_SQL,
         "docs_substring_dup": dd.SUBSTRING_DUP_SQL,
         "docs_dup_clusters": dd.dup_clusters_sql(dd.NGRAM_JACCARD_SQL),
         "docs_clean_corpus": _clean_corpus_sql(),

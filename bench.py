@@ -189,6 +189,10 @@ def bench_queries(sf_dir: str) -> dict:
         "docs_tfidf_terms",
         "kg_triangles",
         "kg_pagerank",
+        "kg_components",
+        "docs_chunks",
+        "docs_stratified_sample",
+        "docs_substring_dup",
     ]
     qs = entry.queries()
     # the KG build cost is reported by bench_kg; pre-warm the shared edge

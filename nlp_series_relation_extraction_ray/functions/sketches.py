@@ -308,3 +308,121 @@ def docs_top_tokens_mg(sf_dir: str, k: int = 20, counters: int = 256):
     return merged.map_batches(explode, batch_format="pyarrow").map_batches(
         topk, batch_format="pyarrow", batch_size=None
     )
+
+
+# --- fixed-histogram quantile sketch ----------------------------------------
+
+HIST_BINS = 1024
+
+
+def hist_partial(values: np.ndarray, lo: float, hi: float,
+                 bins: int = HIST_BINS) -> np.ndarray:
+    """Fold a batch of values into fixed equi-width bin counts (int64[bins])
+    over the known [lo, hi] range."""
+    counts = np.zeros(bins, dtype=np.int64)
+    if len(values) == 0 or hi <= lo:
+        counts[0] += len(values)
+        return counts
+    idx = np.clip(
+        ((values - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1
+    )
+    np.add.at(counts, idx, 1)
+    return counts
+
+
+def hist_quantile(counts: np.ndarray, q: float, lo: float, hi: float) -> float:
+    """Value of the q-quantile from merged bin counts: upper edge of the
+    first bin whose cumulative count reaches ceil(q*n) — within one bin
+    width (hi-lo)/bins of the exact order statistic."""
+    n = int(counts.sum())
+    if n == 0:
+        return lo
+    target = max(1, int(np.ceil(q * n)))
+    b = int(np.searchsorted(np.cumsum(counts), target))
+    return lo + (hi - lo) * (b + 1) / len(counts)
+
+
+def events_value_quantiles_hist(sf_dir: str, bins: int = HIST_BINS):
+    """Approximate per-type value quantiles (p50/p90/p99) via a mergeable
+    fixed-histogram sketch — the constant-shuffle counterpart of the exact
+    ``events_type_quantiles`` distribution reduce (which shuffles one row
+    per DISTINCT value; the histogram partial is a fixed ``bins × 8`` bytes
+    per batch no matter the value cardinality).
+
+    Two passes: (1) exact per-type min/max (an O(#types) aggregate), whose
+    tiny result broadcasts into (2) per-type bin-count partials merged by
+    vector add.  Deterministic; error ≤ one bin width (max-min)/bins per
+    quantile, pinned against the exact operator by ``test_sketches.py``.
+    Rows-only driver check (bin edges are not an SQL-faithful quantile).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    # pass 1: per-type exact range — partials are O(#types) rows
+    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False)["value"].agg(
+            ["min", "max"]
+        )
+        return g.reset_index() if "event_type" not in g.columns else g
+
+    ranges = (
+        ds.map_batches(range_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(lo=("min", "min"), hi=("max", "max"))
+    )
+    range_ref = ray.put(
+        {r.event_type: (float(r.lo), float(r.hi))
+         for r in ranges.itertuples(index=False)}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.base import worker_cached
+
+        rng = worker_cached(("hist_ranges", range_ref.hex()),
+                            lambda: ray.get(range_ref))
+        df = batch.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type"):
+            lo, hi = rng[et]
+            rows.append(
+                {"event_type": et,
+                 "counts": hist_partial(
+                     g["value"].to_numpy(dtype=np.float64), lo, hi, bins
+                 ).tobytes()}
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("event_type", pa.string()), ("counts", pa.binary())]
+            ),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rng = ray.get(range_ref)
+        et = df["event_type"].iloc[0]
+        counts = np.zeros(bins, dtype=np.int64)
+        for blob in df["counts"]:
+            counts += np.frombuffer(blob, dtype=np.int64)
+        lo, hi = rng[et]
+        return pd.DataFrame(
+            {
+                "event_type": [et],
+                "n": [int(counts.sum())],
+                "p50": [hist_quantile(counts, 0.50, lo, hi)],
+                "p90": [hist_quantile(counts, 0.90, lo, hi)],
+                "p99": [hist_quantile(counts, 0.99, lo, hi)],
+            }
+        )
+
+    # #types is tiny — the merge groupby moves #batches × #types summaries
+    return partials.groupby("event_type").map_groups(
+        merge, batch_format="pandas"
+    )

@@ -510,3 +510,49 @@ WHERE (doc_id * {_SAMPLE_MULT}) % {_SPLIT_MOD} % 100
 
 
 STRATIFIED_SAMPLE_SQL = stratified_sample_sql()
+
+
+def bottomk_sample(docs_ds, k: int = 50):
+    """(doc_id, lang, sample_rank): a deterministic uniform k-sample of the
+    corpus — the k smallest ``md5(doc_id)`` values (bottom-k hashing, the
+    distributed stand-in for reservoir sampling: reservoirs are
+    order-dependent and re-deal across runs/partitionings; the bottom-k of
+    a content hash is a pure function of the key set).
+
+    Scale shape: each batch keeps only its k smallest hashes (partial
+    bottom-k), then one single-block final ranks the ≤ k × #blocks
+    survivors — no global sort, nothing corpus-sized anywhere."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["doc_id", "lang"]]
+        df["h"] = [
+            hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        return pa.Table.from_pandas(
+            df.sort_values("h").head(k), preserve_index=False
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values("h").head(k).reset_index(drop=True)
+        out["sample_rank"] = pd.Series(range(1, len(out) + 1), dtype="int64")
+        return out[["doc_id", "lang", "sample_rank"]]
+
+    return (
+        docs_ds.select_columns(["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def bottomk_sample_sql(k: int = 50) -> str:
+    return f"""
+SELECT doc_id, lang,
+  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+       AS BIGINT) AS sample_rank
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT {k}
+"""
+
+
+BOTTOMK_SAMPLE_SQL = bottomk_sample_sql()

@@ -95,6 +95,7 @@ def _check(entry_mod, con, name):
         "docs_pii_redact",
         "docs_chunks",
         "docs_stratified_sample",
+        "docs_bottomk_sample",
         "docs_substring_dup",
         "docs_tfidf_terms",
         "docs_top_tokens",

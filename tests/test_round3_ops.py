@@ -150,3 +150,27 @@ def test_substring_dup_df_cap_drops_boilerplate_floods(ray_session):
     )
     got = substring_dup_pairs(docs, max_df=8).to_pandas()
     assert len(got) == 0
+
+
+def test_bottomk_sample_matches_global_sort(ray_session):
+    """Partial bottom-k + single-block final == global hash order head(k),
+    regardless of how rows are batched."""
+    import hashlib
+
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.textstats import (
+        bottomk_sample,
+    )
+
+    df = pd.DataFrame(
+        {"doc_id": range(700), "lang": ["en"] * 700, "n_chars": 1}
+    )
+    got = bottomk_sample(
+        ray.data.from_pandas(df).repartition(9), k=25
+    ).to_pandas()
+    expect = sorted(
+        range(700), key=lambda d: hashlib.md5(str(d).encode()).hexdigest()
+    )[:25]
+    assert got["doc_id"].tolist() == expect
+    assert got["sample_rank"].tolist() == list(range(1, 26))

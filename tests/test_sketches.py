@@ -157,3 +157,51 @@ def test_docs_top_tokens_mg_finds_exact_heavy_hitters(ray_session):
         assert tok in mg_map, f"heavy hitter {tok!r} lost by MG"
         assert mg_map[tok] <= true
         assert true - mg_map[tok] <= slack
+
+
+def test_hist_quantile_partial_merge_and_bound():
+    """Merged bin counts give quantiles within one bin width of exact."""
+    import numpy as np
+
+    from nlp_series_relation_extraction_ray.functions.sketches import (
+        hist_partial,
+        hist_quantile,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.gamma(2.0, 50.0, size=20_000)
+    lo, hi = float(vals.min()), float(vals.max())
+    # merge = vector add over independently-folded partials
+    counts = sum(
+        hist_partial(chunk, lo, hi) for chunk in np.array_split(vals, 13)
+    )
+    width = (hi - lo) / len(counts)
+    for q in (0.5, 0.9, 0.99):
+        exact = float(np.sort(vals)[int(np.ceil(q * len(vals))) - 1])
+        assert abs(hist_quantile(counts, q, lo, hi) - exact) <= width + 1e-9
+
+
+def test_events_value_quantiles_hist_close_to_exact(ray_session):
+    """The distributed histogram sketch lands within one bin width of the
+    exact per-type order statistics."""
+    import duckdb
+
+    from nlp_series_relation_extraction_ray.functions.sketches import (
+        events_value_quantiles_hist,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_value_quantiles_hist(sf).to_pandas().set_index("event_type")
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        SELECT event_type, COUNT(*) AS n, MIN(value) lo, MAX(value) hi,
+          quantile_disc(value, 0.50) q50, quantile_disc(value, 0.90) q90,
+          quantile_disc(value, 0.99) q99
+        FROM read_parquet('{sf}/events.parquet') GROUP BY event_type
+    """).df().set_index("event_type")
+    assert set(got.index) == set(exact.index)
+    for et in got.index:
+        width = (exact.loc[et, "hi"] - exact.loc[et, "lo"]) / 1024
+        assert got.loc[et, "n"] == exact.loc[et, "n"]
+        for qc, ec in (("p50", "q50"), ("p90", "q90"), ("p99", "q99")):
+            assert abs(got.loc[et, qc] - exact.loc[et, ec]) <= width + 1e-9

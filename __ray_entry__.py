@@ -351,6 +351,20 @@ def _media_decode(sf_dir: str):
     return decode_media(ray.data.from_arrow(synth_media_table(n)), kind="image")
 
 
+def _media_video(sf_dir: str):
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.multimodal import (
+        decode_media,
+        synth_media_table,
+    )
+
+    n = min(_n_convs(sf_dir), 200)
+    return decode_media(
+        ray.data.from_arrow(synth_media_table(n, kind="video")), kind="video"
+    )
+
+
 def _media_audio(sf_dir: str):
     import ray
 
@@ -509,6 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # multimodal plumbing (stubbed decode kernels)
             "multimodal_image_decode": _media_decode,
             "multimodal_audio_features": _media_audio,
+            # frame sampling over opaque video payloads (flat_map shape,
+            # payload-sized batches; decode kernel stubbed, plumbing real)
+            "multimodal_video_frames": _media_video,
             # the DuIE-style eval gate itself, as a queryable result
             "eval_extraction_pr": _eval_pr,
         }

@@ -430,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_prev_lag": rel.events_prev_lag,
             # two-stream as-of join (view -> purchase last-touch attribution)
             "events_attribution": rel.events_attribution,
+            # sessionized funnel conversion (view -> later purchase/session)
+            "events_funnel": rel.events_funnel,
             # fixed tumbling-window aggregate (windowed streaming semantics)
             "events_window_counts": rel.events_window_counts,
             # EXISTS semi-join (orders with a returned lineitem)
@@ -620,6 +622,7 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "events_sessionize_salted": rel.SESSIONIZE_SQL,
         "events_prev_lag": rel.PREV_LAG_SQL,
         "events_attribution": rel.ATTRIBUTION_SQL,
+        "events_funnel": rel.FUNNEL_SQL,
         "events_window_counts": rel.WINDOW_COUNTS_SQL,
         "orders_priority_exists": rel.PRIORITY_EXISTS_SQL,
         "custs_no_urgent_order": rel.NO_URGENT_SQL,

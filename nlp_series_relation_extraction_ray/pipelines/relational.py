@@ -2020,3 +2020,86 @@ r AS (
 SELECT doc_id, CAST(rn AS BIGINT) AS rank, token, tf, df
 FROM r WHERE rn <= 3
 """
+
+
+# --- sessionized funnel conversion (view -> purchase within a session) ----
+
+
+def events_funnel(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
+    """(user_id, n_sessions, n_converting): how many of each user's
+    sessions contain a view followed by a STRICTLY LATER purchase — the
+    funnel-conversion window operator composed on top of sessionize's
+    boundary rule (same >gap inactivity split, same (ts, event_id)
+    restored ordering).
+
+    Scale shape: identical to ``events_sessionize`` — a column-pruned read
+    and ONE user-keyed bucketed reduce; sessions, the view/purchase
+    extrema and the per-user counts all reduce vectorized inside the
+    bucket (no per-session Python, nothing on the driver)."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "event_type"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = df["ts"].to_numpy()
+        users = df["user_id"].to_numpy()
+        new_session = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new_session[1:] = (users[1:] != users[:-1]) | (
+                (ts[1:] - ts[:-1]) > gap
+            )
+        sid = np.cumsum(new_session)
+        et = df["event_type"].to_numpy()
+        per = pd.DataFrame(
+            {
+                "user_id": users,
+                "sid": sid,
+                "view_ts": np.where(et == "view", ts, np.datetime64("NaT")),
+                "purch_ts": np.where(et == "purchase", ts,
+                                     np.datetime64("NaT")),
+            }
+        ).groupby(["user_id", "sid"], as_index=False).agg(
+            v=("view_ts", "min"), p=("purch_ts", "max")
+        )
+        per["converts"] = (
+            per["v"].notna() & per["p"].notna() & (per["v"] < per["p"])
+        )
+        out = per.groupby("user_id", as_index=False).agg(
+            n_sessions=("sid", "size"), n_converting=("converts", "sum")
+        )
+        return out.astype("int64")
+
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(ds, "user_id", funnel)
+
+
+FUNNEL_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN prev_ts IS NULL
+              OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM o
+), sess AS (
+  SELECT user_id, event_type, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sid
+  FROM marked
+), per_sess AS (
+  SELECT user_id, sid,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+    MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+  CAST(SUM(CASE WHEN v IS NOT NULL AND p IS NOT NULL AND v < p
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converting
+FROM per_sess GROUP BY user_id
+"""

@@ -79,6 +79,7 @@ def _check(entry_mod, con, name):
         "events_sessionize_salted",
         "events_prev_lag",
         "events_attribution",
+        "events_funnel",
         "events_window_counts",
         "events_hopping_counts",
         "events_distinct_users",

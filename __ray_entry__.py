@@ -432,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_attribution": rel.events_attribution,
             # sessionized funnel conversion (view -> later purchase/session)
             "events_funnel": rel.events_funnel,
+            # cohort retention triangle (first-activity cohort × day offset)
+            "events_retention": rel.events_retention,
             # fixed tumbling-window aggregate (windowed streaming semantics)
             "events_window_counts": rel.events_window_counts,
             # EXISTS semi-join (orders with a returned lineitem)
@@ -456,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_posting_lists": rel.docs_posting_lists,
             # ROLLUP: three grouping levels in one shuffle
             "docs_lang_source_rollup": rel.docs_lang_source_rollup,
+            # CUBE: all four grouping levels, still one shuffle
+            "docs_lang_source_cube": rel.docs_lang_source_cube,
             "docs_top_tokens": rel.docs_top_tokens,
             "docs_top2_per_lang": rel.docs_top2_per_lang,
             # tf-idf term ranking: broadcast corpus df + row-local rank
@@ -522,6 +526,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _embs(sf), queries=_query_matrix(sf)
             ),
             "emb_knn_ivf_partitioned": _knn_ivf_partitioned,
+            # embedding-space k-means clustering stats (broadcast centroids
+            # + streaming argmax assignment; rows-only, numpy-pinned)
+            "emb_kmeans_clusters": lambda sf: sim.kmeans_cluster_stats(
+                _embs(sf)
+            ),
             # multimodal plumbing (stubbed decode kernels)
             "multimodal_image_decode": _media_decode,
             "multimodal_audio_features": _media_audio,
@@ -623,6 +632,7 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "events_prev_lag": rel.PREV_LAG_SQL,
         "events_attribution": rel.ATTRIBUTION_SQL,
         "events_funnel": rel.FUNNEL_SQL,
+        "events_retention": rel.RETENTION_SQL,
         "events_window_counts": rel.WINDOW_COUNTS_SQL,
         "orders_priority_exists": rel.PRIORITY_EXISTS_SQL,
         "custs_no_urgent_order": rel.NO_URGENT_SQL,
@@ -635,6 +645,7 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "orders_priority_exists_bloom": rel.BLOOM_EXISTS_SQL,
         "docs_posting_lists": rel.POSTING_LISTS_SQL,
         "docs_lang_source_rollup": rel.ROLLUP_SQL,
+        "docs_lang_source_cube": rel.CUBE_SQL,
         "docs_repetition": ts.REPETITION_SQL,
         "docs_top_tokens": rel.TOP_TOKENS_SQL,
         "docs_top2_per_lang": rel.TOP2_PER_LANG_SQL,

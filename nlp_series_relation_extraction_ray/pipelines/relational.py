@@ -2103,3 +2103,130 @@ SELECT user_id, COUNT(*) AS n_sessions,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_converting
 FROM per_sess GROUP BY user_id
 """
+
+
+def docs_lang_source_cube(sf_dir: str):
+    """Doc counts + total chars by (lang, source) with CUBE subtotals —
+    all FOUR grouping levels (leaf, per-lang, per-source, grand) in ONE
+    shuffle: the same map-side multi-level partial as
+    :func:`docs_lang_source_rollup`, plus the (ALL, source) level ROLLUP
+    cannot express.  Still one bucketed merge over
+    4 × (#langs × #sources) partial rows per batch."""
+    import ray
+
+    from ..functions.grouping import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        leaf = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+        per_lang = leaf.groupby("lang", as_index=False)[
+            ["n_docs", "total_chars"]
+        ].sum()
+        per_lang["source"] = "ALL"
+        per_source = leaf.groupby("source", as_index=False)[
+            ["n_docs", "total_chars"]
+        ].sum()
+        per_source["lang"] = "ALL"
+        grand = pd.DataFrame(
+            {
+                "lang": ["ALL"],
+                "source": ["ALL"],
+                "n_docs": [leaf["n_docs"].sum()],
+                "total_chars": [leaf["total_chars"].sum()],
+            }
+        )
+        out = pd.concat(
+            [leaf, per_lang, per_source, grand], ignore_index=True
+        )[["lang", "source", "n_docs", "total_chars"]]
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "source"], as_index=False)[
+            ["n_docs", "total_chars"]
+        ].sum()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return out
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang", "source"],
+        merge,
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+# --- cohort retention (first-activity cohort × day offset) -----------------
+
+
+def events_retention(sf_dir: str):
+    """(cohort_day, day_offset, n_users): classic retention triangle —
+    users grouped by their first-activity day; how many were active again
+    ``day_offset`` days later.
+
+    Scale shape: ONE user-keyed bucketed reduce does all the per-user work
+    (first day = min, distinct active days, offsets) — a user's whole
+    history is co-located, so the per-(cohort, offset) user counts it
+    emits are exact partials — then one tiny merge over
+    #days × #offsets groups.  No user table ever broadcasts; the corpus
+    streams through a single wide shuffle (same partitioning key as
+    sessionize, reusable across both)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"user_id": df["user_id"],
+             "day": df["ts"].dt.floor("D")}
+        ).drop_duplicates()
+        first = d.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": first,
+                "day_offset": (d["day"] - first).dt.days.astype("int64"),
+            }
+        ).groupby(["cohort_day", "day_offset"], as_index=False).size()
+        out.columns = ["cohort_day", "day_offset", "n_users"]
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    partials = bucketed_group_apply(ds, "user_id", per_user)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort_day", "day_offset"], as_index=False)[
+            "n_users"
+        ].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return bucketed_group_apply(
+        partials, ["cohort_day", "day_offset"], merge
+    )
+
+
+RETENTION_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), f AS (
+  SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id
+)
+SELECT f.first_day AS cohort_day,
+  CAST(date_diff('day', f.first_day, d.day) AS BIGINT) AS day_offset,
+  COUNT(*) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

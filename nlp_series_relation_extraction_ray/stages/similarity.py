@@ -361,3 +361,59 @@ def knn_ivf_partitioned(
     return partials.groupby("query_id").map_groups(
         lambda df: _merge_topk(df, k), batch_format="pandas"
     )
+
+
+def kmeans_cluster_stats(emb_ds, n_clusters: int = 16,
+                         train_sample: int = 2048):
+    """(cluster, n_vecs, sum_sim_milli): embedding-space clustering as a
+    first-class operator — a bounded sample trains deterministic Lloyd
+    centroids (the only driver-side data, same recipe as the IVF index),
+    then every vector streams through a broadcast argmax assignment and
+    per-cluster partials (count, total cosine-to-centroid in exact milli
+    units) merge in one tiny groupby.  The per-vector assignment is the
+    semantic-dedup / corpus-curation primitive (cluster-balanced sampling,
+    outlier pruning); the stats table is its bounded summary.  Rows-only
+    driver check (k-means is not SQL-expressible); assignments are pinned
+    against a driver-local numpy reference in pytest."""
+    import ray
+
+    from ..functions.grouping import bucketed_group_apply
+
+    sample = emb_ds.limit(train_sample).to_pandas()
+    train = _normalize(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    )
+    cref = ray.put(kmeans_centroids(train, n_clusters))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.base import worker_cached
+
+        cents = worker_cached(("kmeans_cents", cref.hex()),
+                              lambda: ray.get(cref))
+        vecs, _ = _batch_matrix(batch)
+        vecs = _normalize(vecs)
+        sims = vecs @ cents.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(vecs)), assign]
+        df = pd.DataFrame(
+            {
+                "cluster": assign.astype("int64"),
+                # fixed-point milli-similarity: order-independent int sums
+                "sim_milli": np.floor(best * 1000.0 + 0.5).astype("int64"),
+            }
+        ).groupby("cluster", as_index=False).agg(
+            n_vecs=("sim_milli", "size"), sum_sim_milli=("sim_milli", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("cluster", as_index=False)[
+            ["n_vecs", "sum_sim_milli"]
+        ].sum()
+        return out.astype("int64")
+
+    return bucketed_group_apply(partials, "cluster", merge)

@@ -80,6 +80,7 @@ def _check(entry_mod, con, name):
         "events_prev_lag",
         "events_attribution",
         "events_funnel",
+        "events_retention",
         "events_window_counts",
         "events_hopping_counts",
         "events_distinct_users",
@@ -91,6 +92,7 @@ def _check(entry_mod, con, name):
         "orders_priority_exists_bloom",
         "docs_posting_lists",
         "docs_lang_source_rollup",
+        "docs_lang_source_cube",
         "docs_repetition",
         "docs_decontaminate",
         "docs_pii_redact",

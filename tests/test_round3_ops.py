@@ -174,3 +174,45 @@ def test_bottomk_sample_matches_global_sort(ray_session):
     )[:25]
     assert got["doc_id"].tolist() == expect
     assert got["sample_rank"].tolist() == list(range(1, 26))
+
+
+def test_kmeans_cluster_stats_matches_numpy_reference(ray_session):
+    """Distributed assignment partials == a driver-local numpy pass with
+    the same deterministic centroids."""
+    import numpy as np
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.similarity import (
+        _normalize,
+        kmeans_centroids,
+        kmeans_cluster_stats,
+    )
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(600, 16)
+    emb = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": range(600), "embedding": [v.tolist() for v in mat]}
+        )
+    ).repartition(5)
+    got = (
+        kmeans_cluster_stats(emb, n_clusters=8, train_sample=600)
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+
+    vecs = _normalize(mat.astype(np.float64))
+    # train sample = limit(600) = the whole set here, so centroids match
+    cents = kmeans_centroids(_normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in mat])
+    ), 8)
+    sims = vecs @ cents.T
+    assign = sims.argmax(axis=1)
+    milli = np.floor(sims[np.arange(len(vecs)), assign] * 1000 + 0.5)
+    for c in got["cluster"]:
+        mask = assign == c
+        row = got[got["cluster"] == c].iloc[0]
+        assert row["n_vecs"] == int(mask.sum())
+        assert row["sum_sim_milli"] == int(milli[mask].sum())
+    assert got["n_vecs"].sum() == 600

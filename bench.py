@@ -193,6 +193,12 @@ def bench_queries(sf_dir: str) -> dict:
         "docs_chunks",
         "docs_stratified_sample",
         "docs_substring_dup",
+        "docs_bottomk_sample",
+        "docs_lang_source_cube",
+        "events_funnel",
+        "events_retention",
+        "events_value_quantiles_hist",
+        "emb_kmeans_clusters",
     ]
     qs = entry.queries()
     # the KG build cost is reported by bench_kg; pre-warm the shared edge

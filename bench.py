@@ -470,7 +470,33 @@ def main() -> None:
     if args.stats:
         dump_stats(args.sf_dir, args.num_cpus)
         return
-    print(json.dumps(run_full(args.sf_dir, args.num_cpus)))
+    full = run_full(args.sf_dir, args.num_cpus)
+    # the driver parses the LAST stdout line from a bounded tail capture;
+    # the full per-query maps outgrew it in round 3 ("parsed": null), so
+    # they go to a sidecar file and the final printed line stays compact
+    detail_path = str(Path(__file__).resolve().parent / "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    qsecs = full["queries"].values()
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "sf": full["sf"],
+        "num_cpus": full["num_cpus"],
+        "n_turns": full["n_turns"],
+        "triples": full["triples"],
+        "extract_wall_s": full["extract_wall_s"],
+        "triples_per_sec": full["triples_per_sec"],
+        "turns_per_sec": full["turns_per_sec"],
+        "kg": full["kg"],
+        "trained_scorer": full["trained_scorer"],
+        "queries_run": len(full["queries"]),
+        "queries_total_s": round(sum(qsecs), 3),
+        "queries_max_s": round(max(qsecs), 3),
+        "detail": detail_path,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -17,9 +17,12 @@ invariant from BASELINE.json's ``input_hint``.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
+
+logger = logging.getLogger(__name__)
 
 from .extract import extract_triples
 
@@ -112,6 +115,79 @@ def build_kg(transcripts_ds, head: str = "baseline", out_dir: str | None = None)
         nodes = ray.data.read_parquet(nodes_dir)
         edges = ray.data.read_parquet(edges_dir)
     return {"triples": triples, "nodes": nodes, "edges": edges}
+
+
+def build_kg_resumable(
+    n_convs: int,
+    out_dir: str,
+    head: str = "baseline",
+    n_partitions: int = 8,
+) -> dict:
+    """Flagship KG job with partition-granular resume at EVERY stage
+    (extract → link/canonicalize → graph), replacing the plain
+    ``write_parquet`` of :func:`build_kg` with manifest-checkpointed
+    partitions (``state/checkpoint.py``): a killed run reruns only the
+    partitions whose manifest is missing or stale.
+
+    Stage lineage chains: the nodes/edges specs embed every extraction
+    partition's input fingerprint, so a changed extraction (different
+    head, corpus, engine version) invalidates the downstream checkpoints
+    while an unchanged rerun skips all three stages.  Nodes/edges are
+    global reduces over the full triples table, so each is one logical
+    partition at this granularity (their shuffles parallelize internally);
+    at cluster scale the extraction stage carries the partition fan-out.
+    """
+    import json as _json
+
+    import ray
+
+    from ..sources.kb import build_alias_index
+    from ..state.checkpoint import (
+        manifest_path,
+        read_all_partitions,
+        run_partitioned,
+        run_partitioned_extraction,
+    )
+
+    triples_dir = f"{out_dir}/triples"
+    s_extract = run_partitioned_extraction(
+        n_convs, triples_dir, head=head, n_partitions=n_partitions
+    )
+
+    # downstream lineage = the ordered extraction fingerprints
+    upstream_fps = []
+    for part in range(len(s_extract["partitions"])):
+        with open(manifest_path(triples_dir, part)) as f:
+            upstream_fps.append(_json.load(f)["input_fingerprint"])
+
+    alias_ref = ray.put(build_alias_index())
+
+    def run_nodes(spec: dict):
+        return kg_nodes(
+            read_all_partitions(triples_dir), alias_index_ref=alias_ref
+        )
+
+    def run_edges(spec: dict):
+        return kg_edges(
+            read_all_partitions(triples_dir), alias_index_ref=alias_ref
+        )
+
+    s_nodes = run_partitioned(
+        f"{out_dir}/nodes",
+        [{"kind": "kg_nodes", "head": head, "upstream": upstream_fps}],
+        run_nodes, stage="nodes",
+    )
+    s_edges = run_partitioned(
+        f"{out_dir}/edges",
+        [{"kind": "kg_edges", "head": head, "upstream": upstream_fps}],
+        run_edges, stage="edges",
+    )
+    return {
+        "summary": {"extract": s_extract, "nodes": s_nodes, "edges": s_edges},
+        "triples": read_all_partitions(triples_dir),
+        "nodes": read_all_partitions(f"{out_dir}/nodes"),
+        "edges": read_all_partitions(f"{out_dir}/edges"),
+    }
 
 
 def kg_node_degrees(edges_ds):
@@ -701,16 +777,35 @@ def kg_components(edges_ds, max_iters: int = 25,
         out = pd.concat([own, fwd], ignore_index=True)
         return out.rename(columns={"dst": "node"})
 
+    # grow past max_iters if the fixpoint hash says we have not converged
+    # (diameter > max_iters is plausible exactly in the huge-graph regime
+    # this path serves); a hard cap turns a silent wrong answer into a
+    # loud failure instead of returning unconverged labels
     prev = state_hash(labels)
-    for _ in range(max_iters):
+    hard_cap = max(max_iters * 8, max_iters + 1)
+    converged = False
+    for it in range(hard_cap):
         lab_rows = labels.map_batches(tag_label, batch_format="pandas")
         edge_rows = edges.map_batches(tag_edge, batch_format="pandas")
         msgs = bucketed_group_apply(lab_rows.union(edge_rows), "key", forward)
         labels = bucketed_group_apply(msgs, "node", take_min).materialize()
         cur = state_hash(labels)
         if cur == prev:  # monotone labels + node-bound hash: equal == fixed
+            converged = True
             break
         prev = cur
+        if it + 1 == max_iters:
+            logger.warning(
+                "kg_components: no fixpoint after max_iters=%d rounds; "
+                "extending to %d (graph diameter exceeds budget)",
+                max_iters, hard_cap,
+            )
+    if not converged:
+        raise RuntimeError(
+            f"kg_components: label propagation did not converge within "
+            f"{hard_cap} rounds — graph diameter exceeds the iteration "
+            f"budget; raise max_iters"
+        )
 
     # converged labels stay distributed: the output is pair-graph-sized
     # (above the gate that can be huge), so only rename per batch

@@ -1929,20 +1929,61 @@ FROM documents GROUP BY ROLLUP(lang, source)
 # --- TF-IDF term ranking (corpus-wide df broadcast + row-local rank) ------
 
 
-def docs_tfidf_terms(sf_dir: str, k: int = 3):
+def docs_tfidf_terms(sf_dir: str, k: int = 3,
+                     heavy_df_threshold: int = 1000):
     """Top-k distinctive terms per document, ranked by (tf DESC, df ASC,
     token ASC) — the tf-idf ordering (frequent in the doc, rare across the
     corpus) kept integer-exact so the SQL oracle matches value-for-value.
 
-    Two-phase shape: document frequencies are built with an in-batch
-    distinct-per-doc combiner and one vocab-cardinality reduce, then the
-    (bounded — natural-language vocab, or top-V truncated at corpus scale)
-    df table is broadcast via ``ray.put`` and the per-doc ranking is a
-    row-local map.  No per-doc shuffle: the corpus streams once for df and
-    once for ranking."""
+    Scale shape (no vocabulary-sized driver state — the corpus
+    document-frequency table stays DISTRIBUTED):
+
+    1. tf rows ``(doc_id, token, tf)`` are a pure map-side explode
+       (tf is computable within one row).
+    2. df is built with an in-batch distinct-per-doc combiner and one
+       token-keyed bucketed merge — a distributed ``(token, df)`` table.
+    3. df attach is a HYBRID join split by frequency:
+       - HEAVY tokens (``df >= heavy_df_threshold``) are collected and
+         broadcast via ``ray.put`` — bounded by construction: at most
+         ``total_doc_token_pairs / heavy_df_threshold`` entries (e.g.
+         1e13 pairs / 1e6 threshold = ≤1e7 dict entries), never the
+         vocabulary.  These are exactly the shuffle-skew keys (stopwords),
+         so broadcasting them also removes every hot reducer.
+       - LIGHT tokens shuffle-join against the distributed light-df table;
+         every light key has < threshold rows, so no reducer hotspot.
+    4. One doc-keyed bucketed reduce ranks top-k per doc (vectorized
+       groupby-cumcount, never per-row Python).
+
+    The heavy/light branches re-execute the map-side explode (Ray Data
+    recomputes shared lineage rather than caching it): three streaming
+    column-pruned passes over ``text`` total — a deliberate trade against
+    materializing the corpus-sized (doc, token, tf) explode in the object
+    store."""
     import ray
 
+    from ..functions.grouping import bucketed_group_apply
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        doc_ids: list[int] = []
+        toks: list[str] = []
+        tfs: list[int] = []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            for tok, cnt in Counter(t.split(" ")).items():
+                doc_ids.append(did)
+                toks.append(tok)
+                tfs.append(cnt)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
 
     def df_partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -1962,46 +2003,76 @@ def docs_tfidf_terms(sf_dir: str, k: int = 3):
         out["df"] = out["df"].astype("int64")
         return out
 
-    from ..functions.grouping import bucketed_group_apply
-
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow")
     df_tbl = bucketed_group_apply(
         ds.map_batches(df_partial, batch_format="pyarrow"), "token", df_merge
+    ).materialize()
+
+    import pyarrow.compute as pc
+
+    def keep_heavy(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["df"],
+                                             heavy_df_threshold))
+
+    def keep_light(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["df"], heavy_df_threshold))
+
+    # heavy side: bounded collect (≤ Σtf / threshold entries), broadcast
+    heavy_pd = df_tbl.map_batches(
+        keep_heavy, batch_format="pyarrow"
     ).to_pandas()
-    dref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+    heavy_map = (
+        dict(zip(heavy_pd["token"], heavy_pd["df"].astype(int)))
+        if "token" in heavy_pd.columns else {}
+    )  # empty filter result drops the schema entirely
+    heavy_ref = ray.put(heavy_map)
+    light_df_tbl = df_tbl.map_batches(keep_light, batch_format="pyarrow")
 
-    def rank(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
+    def split_heavy(batch: pa.Table) -> pa.Table:
+        """Attach df map-side for heavy tokens; mark the light rest with
+        df = -1 so the shuffle join only carries light rows."""
         from ..stages.base import worker_cached
 
-        dfs = worker_cached(("tfidf_df", dref.hex()), lambda: ray.get(dref))
-        out = {"doc_id": [], "rank": [], "token": [], "tf": [], "df": []}
-        for did, t in zip(batch["doc_id"].to_pylist(),
-                          batch["text"].to_pylist()):
-            tf = Counter(t.split(" "))
-            ranked = sorted(
-                tf.items(), key=lambda kv: (-kv[1], dfs[kv[0]], kv[0])
-            )[:k]
-            for r, (tok, cnt) in enumerate(ranked, 1):
-                out["doc_id"].append(did)
-                out["rank"].append(r)
-                out["token"].append(tok)
-                out["tf"].append(cnt)
-                out["df"].append(dfs[tok])
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "rank": pa.array(out["rank"], pa.int64()),
-                "token": pa.array(out["token"], pa.string()),
-                "tf": pa.array(out["tf"], pa.int64()),
-                "df": pa.array(out["df"], pa.int64()),
-            }
+        heavy = worker_cached(("tfidf_heavy", heavy_ref.hex()),
+                              lambda: ray.get(heavy_ref))
+        df = batch.to_pandas()
+        # Series.map(dict) is the C-path lookup; misses become -1
+        df["df"] = df["token"].map(heavy).fillna(-1).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def keep_attached(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["df"], 0))
+
+    def keep_unattached(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["df"], 0)).drop_columns(["df"])
+
+    tagged = tf_ds.map_batches(split_heavy, batch_format="pyarrow")
+    heavy_rows = tagged.map_batches(keep_attached, batch_format="pyarrow")
+    light_rows = tagged.map_batches(keep_unattached, batch_format="pyarrow")
+
+    from ..functions.joins import shuffle_join
+
+    light_joined = shuffle_join(light_rows, light_df_tbl, on="token")
+    attached = heavy_rows.union(
+        light_joined.select_columns(["doc_id", "token", "tf", "df"])
+    )
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["doc_id", "tf", "df", "token"],
+            ascending=[True, False, True, True],
+        )
+        df["rank"] = (df.groupby("doc_id").cumcount() + 1).astype("int64")
+        out = df[df["rank"] <= k]
+        return out[["doc_id", "rank", "token", "tf", "df"]].reset_index(
+            drop=True
         )
 
-    return ds.map_batches(rank, batch_format="pyarrow")
+    return bucketed_group_apply(attached, "doc_id", rank_bucket)
 
 
-TFIDF_TERMS_SQL = """
+def tfidf_terms_sql(k: int = 3) -> str:
+    return f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
@@ -2018,8 +2089,11 @@ r AS (
   FROM tf JOIN df USING (token)
 )
 SELECT doc_id, CAST(rn AS BIGINT) AS rank, token, tf, df
-FROM r WHERE rn <= 3
+FROM r WHERE rn <= {k}
 """
+
+
+TFIDF_TERMS_SQL = tfidf_terms_sql()
 
 
 # --- sessionized funnel conversion (view -> purchase within a session) ----

@@ -12,10 +12,13 @@ finds vector-level duplicates via blocked matmul against a broadcast matrix.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+logger = logging.getLogger(__name__)
 
 # ---- exact dedup ---------------------------------------------------------
 
@@ -823,16 +826,35 @@ def dup_clusters(docs_ds, pairs_ds, max_iters: int = 25,
         agg = ds.sum("label")
         return int(agg) if not isinstance(agg, dict) else int(agg["sum(label)"])
 
+    # labels are monotone non-increasing, so an unchanged sum is a true
+    # fixpoint; extend past max_iters (diameter > budget is plausible in
+    # the huge-graph regime this path serves) and fail loudly rather than
+    # return silently-unconverged cluster ids
     prev_sum = sum_labels(labels)
-    for _ in range(max_iters):
+    hard_cap = max(max_iters * 8, max_iters + 1)
+    converged = False
+    for it in range(hard_cap):
         lab_rows = labels.map_batches(tag_label, batch_format="pandas")
         edge_rows = edges.map_batches(tag_edge, batch_format="pandas")
         msgs = bucketed_group_apply(lab_rows.union(edge_rows), "key", forward)
         labels = bucketed_group_apply(msgs, "doc_id", take_min).materialize()
         cur_sum = sum_labels(labels)
         if cur_sum == prev_sum:  # monotone labels: equal sum == fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+        if it + 1 == max_iters:
+            logger.warning(
+                "dup_clusters: no fixpoint after max_iters=%d rounds; "
+                "extending to %d (pair-graph diameter exceeds budget)",
+                max_iters, hard_cap,
+            )
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters: label propagation did not converge within "
+            f"{hard_cap} rounds — pair-graph diameter exceeds the "
+            f"iteration budget; raise max_iters"
+        )
 
     return finish(labels)
 

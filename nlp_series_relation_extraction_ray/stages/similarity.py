@@ -375,11 +375,34 @@ def kmeans_cluster_stats(emb_ds, n_clusters: int = 16,
     outlier pruning); the stats table is its bounded summary.  Rows-only
     driver check (k-means is not SQL-expressible); assignments are pinned
     against a driver-local numpy reference in pytest."""
+    import hashlib
+
     import ray
 
     from ..functions.grouping import bucketed_group_apply
 
-    sample = emb_ds.limit(train_sample).to_pandas()
+    # train on a UNIFORM deterministic sample — bottom-k of md5(vec_id),
+    # like textstats.bottomk_sample — not limit(): the first N rows in
+    # dataset order are head-of-corpus-biased on sorted/clustered input
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["vec_id", "embedding"]]
+        df["h"] = [
+            hashlib.md5(str(v).encode()).hexdigest() for v in df["vec_id"]
+        ]
+        return pa.Table.from_pandas(
+            df.sort_values("h").head(train_sample), preserve_index=False
+        )
+
+    def sample_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("h").head(train_sample).drop(columns="h")
+
+    sample = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(sample_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(sample_final, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
     train = _normalize(
         np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     )

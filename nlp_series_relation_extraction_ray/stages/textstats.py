@@ -313,12 +313,17 @@ def train_test_split(docs_ds, train_pct: int = 90, val_pct: int = 5):
 
 
 def train_test_split_sql(train_pct: int = 90, val_pct: int = 5) -> str:
+    # HUGEINT keeps the product exact at any doc_id (BIGINT overflows above
+    # ~3.5e9); the Python side is already exact — uint64 wraparound is mod
+    # 2^64 and the final modulus 2^32 divides it, so (x mod 2^64) mod 2^32
+    # == x mod 2^32
+    h = f"(CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100"
     return f"""
 SELECT doc_id,
-  CAST((doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 AS BIGINT) AS bucket,
-  CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 < {train_pct}
+  CAST({h} AS BIGINT) AS bucket,
+  CASE WHEN {h} < {train_pct}
          THEN 'train'
-       WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100
+       WHEN {h}
          < {train_pct + val_pct} THEN 'val'
        ELSE 'test' END AS split
 FROM documents
@@ -502,9 +507,11 @@ def stratified_sample_sql(rates: dict[str, int] | None = None) -> str:
     cases = " ".join(
         f"WHEN lang = '{lg}' THEN {r}" for lg, r in sorted(rates.items())
     )
+    # HUGEINT: exact product at any doc_id (see train_test_split_sql); the
+    # Python uint64 side is exact because 2^32 divides the 2^64 wrap modulus
     return f"""
 SELECT doc_id, lang, n_chars FROM documents
-WHERE (doc_id * {_SAMPLE_MULT}) % {_SPLIT_MOD} % 100
+WHERE (CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT}) % {_SPLIT_MOD} % 100
       < (CASE {cases} ELSE 100 END)
 """
 

@@ -5,6 +5,8 @@ import json
 import os
 import shutil
 
+import pytest
+
 from nlp_series_relation_extraction_ray.state.checkpoint import (
     manifest_path,
     partition_ranges,
@@ -114,3 +116,64 @@ def test_read_all_partitions_skips_incomplete(ray_session, tmp_path):
     with open(os.path.join(out, "part-0099", "MANIFEST.json"), "w") as f:
         f.write("{not json")
     assert read_all_partitions(out).count() == complete_rows
+
+
+def test_flagship_kg_kill_rerun_skips_and_identical(ray_session, tmp_path,
+                                                    monkeypatch):
+    """Kill the flagship resumable KG job mid-extraction, rerun, and check
+    (a) completed partitions are skipped, (b) nodes/edges are
+    content-identical to an uninterrupted run."""
+    import pandas as pd
+
+    from nlp_series_relation_extraction_ray.pipelines import extract as ex
+    from nlp_series_relation_extraction_ray.pipelines.kg import (
+        build_kg_resumable,
+    )
+
+    def _sorted(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    # uninterrupted reference run
+    ref_out = str(tmp_path / "kg_ref")
+    ref = build_kg_resumable(48, ref_out, head="baseline", n_partitions=4)
+    ref_nodes, ref_edges = _sorted(ref["nodes"]), _sorted(ref["edges"])
+    assert len(ref_nodes) > 0 and len(ref_edges) > 0
+
+    # killed run: the 3rd extraction partition dies mid-flight
+    out = str(tmp_path / "kg_resume")
+    real_extract = ex.extract_triples
+    calls = {"n": 0}
+
+    def dying_extract(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated mid-run kill")
+        return real_extract(*a, **kw)
+
+    monkeypatch.setattr(ex, "extract_triples", dying_extract)
+    with pytest.raises(RuntimeError, match="simulated mid-run kill"):
+        build_kg_resumable(48, out, head="baseline", n_partitions=4)
+    monkeypatch.setattr(ex, "extract_triples", real_extract)
+
+    # rerun: the 2 completed partitions are skipped, the rest run, and the
+    # final graph matches the uninterrupted reference exactly
+    res = build_kg_resumable(48, out, head="baseline", n_partitions=4)
+    s = res["summary"]["extract"]
+    assert s["skipped"] == 2 and s["ran"] == 2
+    assert s["skipped"] >= 1  # the north-rule resumability claim
+    pd.testing.assert_frame_equal(_sorted(res["nodes"]), ref_nodes)
+    pd.testing.assert_frame_equal(_sorted(res["edges"]), ref_edges)
+
+    # a second rerun skips EVERY stage (extract + nodes + edges)
+    res2 = build_kg_resumable(48, out, head="baseline", n_partitions=4)
+    assert res2["summary"]["extract"]["ran"] == 0
+    assert res2["summary"]["nodes"]["ran"] == 0
+    assert res2["summary"]["edges"]["ran"] == 0
+
+    # changed upstream lineage (different head) invalidates the chained
+    # nodes/edges fingerprints -> downstream recomputes
+    res3 = build_kg_resumable(48, out, head="mpn", n_partitions=4)
+    assert res3["summary"]["extract"]["ran"] == 4
+    assert res3["summary"]["nodes"]["ran"] == 1
+    assert res3["summary"]["edges"]["ran"] == 1

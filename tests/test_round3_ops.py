@@ -179,6 +179,8 @@ def test_bottomk_sample_matches_global_sort(ray_session):
 def test_kmeans_cluster_stats_matches_numpy_reference(ray_session):
     """Distributed assignment partials == a driver-local numpy pass with
     the same deterministic centroids."""
+    import hashlib
+
     import numpy as np
     import ray
 
@@ -203,9 +205,13 @@ def test_kmeans_cluster_stats_matches_numpy_reference(ray_session):
     )
 
     vecs = _normalize(mat.astype(np.float64))
-    # train sample = limit(600) = the whole set here, so centroids match
+    # train sample = whole set here, but the operator samples in
+    # bottom-k-of-md5(vec_id) order (uniform deterministic sample) — the
+    # reference must stack rows in that same order for centroids to match
+    order = sorted(range(600),
+                   key=lambda v: hashlib.md5(str(v).encode()).hexdigest())
     cents = kmeans_centroids(_normalize(
-        np.stack([np.asarray(v, dtype=np.float64) for v in mat])
+        np.stack([np.asarray(mat[i], dtype=np.float64) for i in order])
     ), 8)
     sims = vecs @ cents.T
     assign = sims.argmax(axis=1)

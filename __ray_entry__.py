@@ -235,6 +235,34 @@ def _clean_corpus(sf_dir: str):
     return clean_corpus(sf_dir, clusters_ds=_dup_clusters(sf_dir))
 
 
+def _near_dup_pairs(sf_dir: str):
+    """Materialized MinHash/LSH pair graph, shared between the
+    ``docs_near_dup_pairs`` query and the cluster chain built on it (the
+    pair table is the small OUTPUT of the 3-shuffle LSH job — exactly
+    what production would write to a pairs dir and re-read)."""
+    from nlp_series_relation_extraction_ray.stages import dedup as dd
+
+    key = ("near_dup_pairs", sf_dir)
+    if key not in _SHARED_CACHE:
+        _SHARED_CACHE[key] = dd.near_dup_pairs_distributed(
+            _docs(sf_dir)
+        ).materialize()
+    return _SHARED_CACHE[key]
+
+
+def _simhash_pairs(sf_dir: str):
+    """Materialized SimHash band-LSH pair graph (shared like
+    :func:`_near_dup_pairs`)."""
+    from nlp_series_relation_extraction_ray.stages import dedup as dd
+
+    key = ("simhash_pairs", sf_dir)
+    if key not in _SHARED_CACHE:
+        _SHARED_CACHE[key] = dd.simhash_near_dup_pairs(
+            _docs(sf_dir)
+        ).materialize()
+    return _SHARED_CACHE[key]
+
+
 def _minhash_clusters(sf_dir: str):
     """Connected components over the DISTRIBUTED MinHash/LSH pair graph —
     the full LSH dedup decision chain (shingle → minhash → band bucket →
@@ -246,7 +274,7 @@ def _minhash_clusters(sf_dir: str):
     key = ("minhash_clusters", sf_dir)
     if key not in _SHARED_CACHE:
         _SHARED_CACHE[key] = dd.dup_clusters(
-            _docs(sf_dir), dd.near_dup_pairs_distributed(_docs(sf_dir))
+            _docs(sf_dir), _near_dup_pairs(sf_dir)
         ).materialize()
     return _SHARED_CACHE[key]
 
@@ -469,8 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_train_test_split": lambda sf: ts.train_test_split(_docs(sf)),
             # dedup family
             "docs_exact_dedup": lambda sf: dd.exact_dedup(_docs(sf)),
-            "docs_near_dup_pairs":
-                lambda sf: dd.near_dup_pairs_distributed(_docs(sf)),
+            "docs_near_dup_pairs": _near_dup_pairs,
             "docs_ngram_jaccard":
                 lambda sf: dd.ngram_jaccard_pairs(_docs(sf)),
             # connected components over the exact pair graph: the
@@ -485,12 +512,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # flagship prep composition: dedup -> quality -> langid -> split
             "docs_clean_corpus": _clean_corpus,
             "docs_simhash": lambda sf: dd.simhash_table(_docs(sf)),
-            "docs_simhash_near_dup":
-                lambda sf: dd.simhash_near_dup_pairs(_docs(sf)),
+            "docs_simhash_near_dup": _simhash_pairs,
             # clustering over the SimHash band-LSH pair graph (same
             # min-label propagation as the MinHash/exact chains)
             "docs_simhash_clusters": lambda sf: dd.dup_clusters(
-                _docs(sf), dd.simhash_near_dup_pairs(_docs(sf))
+                _docs(sf), _simhash_pairs(sf)
             ),
             "emb_dup_pairs": _emb_dups,
             # GPT-3-style eval-set decontamination: n-gram collision vs a
@@ -554,6 +580,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # histogram-quantile sketch: the constant-shuffle counterpart
             # of the exact events_type_quantiles distribution reduce
             "events_value_quantiles_hist": sk.events_value_quantiles_hist,
+            # boolean-verdict accuracy checks: the sketch's published error
+            # bound as a decidable predicate — the SQL oracle emits the
+            # exact values + literal TRUE, so a hash-exact match IS the
+            # bound check (driver-verified, not rows-only)
+            "events_user_hll_check": sk.events_user_hll_check,
+            "docs_top_tokens_mg_check": sk.docs_top_tokens_mg_check,
+            "events_value_quantiles_hist_check":
+                sk.events_value_quantiles_hist_check,
         }
     )
     return q
@@ -568,6 +602,7 @@ def _clean_corpus_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from nlp_series_relation_extraction_ray.functions import sketches as sk
     from nlp_series_relation_extraction_ray.pipelines import relational as rel
     from nlp_series_relation_extraction_ray.sources import fixture_sql as fsql
     from nlp_series_relation_extraction_ray.stages import (
@@ -669,6 +704,10 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "docs_langid": ts.LANGID_SQL,
         "emb_knn_bruteforce": sim.knn_sql(),
         "eval_extraction_pr": fsql.eval_pr_sql(EVAL_HEADS),
+        # sketch-accuracy boolean verdicts: oracle = exact values + TRUE
+        "events_user_hll_check": sk.HLL_CHECK_SQL,
+        "docs_top_tokens_mg_check": sk.MG_CHECK_SQL,
+        "events_value_quantiles_hist_check": sk.HIST_CHECK_SQL,
         # docs_near_dup_pairs / docs_simhash / docs_fingerprints /
         # emb_dup_pairs / emb_knn_ivf / multimodal_image_decode are
         # intentionally rows-only (hash-family and approximate operators are

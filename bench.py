@@ -50,6 +50,12 @@ def _n_convs(sf_dir: str, multiplier: int = CONV_MULTIPLIER) -> int:
 def _warmup() -> None:
     """Spawn the worker/actor fleet before the timed region (first pipeline
     in a fresh session otherwise pays process spawn + import per worker)."""
+    import pandas as pd
+    import ray
+
+    from nlp_series_relation_extraction_ray.functions.grouping import (
+        bucketed_group_apply,
+    )
     from nlp_series_relation_extraction_ray.pipelines.extract import (
         extract_triples,
     )
@@ -59,6 +65,16 @@ def _warmup() -> None:
 
     extract_triples(
         transcripts_dataset(2000), head="baseline", batch_size=64
+    ).count()
+    # warm the shuffle/reduce path too (groupby Sort spawns its own
+    # workers): the first shuffle query otherwise pays the fleet spawn —
+    # the round-3 near-dup cold/warm gap (10.2 vs 6.9 s) was exactly this
+    ds = ray.data.range(20_000).map_batches(
+        lambda df: pd.DataFrame({"k": df["id"] % 97, "v": df["id"]}),
+        batch_format="pandas",
+    )
+    bucketed_group_apply(
+        ds, "k", lambda df: df.groupby("k", as_index=False)["v"].sum()
     ).count()
     time.sleep(2)
 
@@ -222,9 +238,16 @@ def bench_queries(sf_dir: str) -> dict:
     return out
 
 
-def bench_trained(sf_dir: str) -> dict:
+def bench_trained(sf_dir: str, trials: int = 3) -> dict:
     """Trained-scorer extraction: the actor-pool physical plan with real
-    (28 MB) weights broadcast once and loaded per actor."""
+    (28 MB) weights broadcast once and loaded per actor.
+
+    Runs ``trials`` timed passes and reports ALL walls plus the min: the
+    first pass pays the actor-fleet spawn (N worker processes × imports ×
+    weights fetch), which on a contended box has shown 7–19 s swings
+    round-to-round (r1 11.6 / r2 7.1 / r3 18.7 s with identical code) —
+    the warm passes are the steady-state number a long-running cluster
+    job sees, the cold-warm gap is the fleet startup cost."""
     import ray
 
     from nlp_series_relation_extraction_ray.sources.transcripts import (
@@ -240,14 +263,20 @@ def bench_trained(sf_dir: str) -> dict:
     train_s = time.time() - t0
     wref = ray.put(weights)
     n_convs = _n_convs(sf_dir)
-    t0 = time.time()
-    triples = extract_triples_trained(
-        transcripts_dataset(n_convs), wref
-    ).count()
-    wall = time.time() - t0
+    walls = []
+    triples = 0
+    for _ in range(trials):
+        t0 = time.time()
+        triples = extract_triples_trained(
+            transcripts_dataset(n_convs), wref
+        ).count()
+        walls.append(round(time.time() - t0, 3))
+    wall = min(walls)
     return {
         "train_s": round(train_s, 1),
-        "extract_wall_s": round(wall, 3),
+        "extract_wall_s": wall,
+        "extract_walls_all": walls,
+        "extract_wall_cold_s": walls[0],
         "triples": triples,
         "triples_per_sec": round(triples / wall, 1),
     }

@@ -426,3 +426,185 @@ def events_value_quantiles_hist(sf_dir: str, bins: int = HIST_BINS):
     return partials.groupby("event_type").map_groups(
         merge, batch_format="pandas"
     )
+
+
+# --- boolean-verdict bound checks (driver-verifiable sketch accuracy) -------
+#
+# A hash family is not SQL-expressible, but its PUBLISHED ERROR BOUND is a
+# decidable predicate — so each sketch gets a companion query that computes
+# both the sketch and its exact counterpart and returns booleans, while the
+# SQL oracle returns the exact values plus literal TRUE.  A hash-exact
+# driver match therefore *is* the bound check (the driver verifies the
+# accuracy claim, not just row counts).
+
+
+def events_user_hll_check(sf_dir: str):
+    """(event_type, n_users, within_bound): the HLL estimate must sit
+    within the 3-sigma Flajolet bound (3 x 1.04/sqrt(2^p) ~ 4.9% at p=12)
+    of the exact distinct count.  Both sides are existing operators; the
+    comparison joins two #event_type-sized results on the driver."""
+    import pandas as pd
+
+    from ..pipelines.relational import events_distinct_users
+
+    approx = events_user_hll(sf_dir).to_pandas()
+    exact = events_distinct_users(sf_dir).to_pandas()
+    m = exact.merge(approx, on="event_type")
+    bound = 3 * 1.04 / (_HLL_M ** 0.5)
+    ok = (m["n_users_approx"] - m["n_users"]).abs() / m["n_users"] <= bound
+    return pd.DataFrame(
+        {
+            "event_type": m["event_type"],
+            "n_users": m["n_users"].astype("int64"),
+            "within_bound": ok.astype(bool),
+        }
+    )
+
+
+HLL_CHECK_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def docs_top_tokens_mg_check(sf_dir: str, counters: int = 256):
+    """(token, cnt, in_mg, count_within_bound) for every token whose TRUE
+    count exceeds n/(counters+1) — the Misra-Gries survival guarantee set.
+    Checks both guarantees: each such token survives the merged summary,
+    and its reported count under-estimates by at most n/(counters+1).
+
+    The exact side is a map-side count combiner + one token-keyed bucketed
+    reduce; the guarantee set is bounded (< counters+1 tokens by
+    definition), so the final comparison is a tiny driver-side join."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from .grouping import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(t.split(" "))
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def cnt_merge(df):
+        out = df.groupby("token", as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    counts = bucketed_group_apply(
+        ds.map_batches(cnt_partial, batch_format="pyarrow"),
+        "token", cnt_merge,
+    ).materialize()
+    agg = counts.sum("cnt")
+    n = int(agg) if not isinstance(agg, dict) else int(agg["sum(cnt)"])
+    thresh = n / (counters + 1)
+
+    def keep_guaranteed(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(pc.multiply(batch["cnt"], counters + 1), n)
+        )
+
+    heavy = counts.map_batches(
+        keep_guaranteed, batch_format="pyarrow"
+    ).to_pandas()
+
+    mg = docs_top_tokens_mg(sf_dir, k=counters, counters=counters).to_pandas()
+    mg_map = dict(zip(mg["token"], mg["mg_count"].astype(int)))
+
+    in_mg = heavy["token"].isin(mg_map).to_numpy()
+    under = np.array(
+        [
+            t in mg_map and 0 <= c - mg_map[t] <= thresh
+            for t, c in zip(heavy["token"], heavy["cnt"])
+        ],
+        dtype=bool,
+    )
+    out = pd.DataFrame(
+        {
+            "token": heavy["token"],
+            "cnt": heavy["cnt"].astype("int64"),
+            "in_mg": in_mg,
+            "count_within_bound": under,
+        }
+    )
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def mg_check_sql(counters: int = 256) -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT SUM(cnt) AS n FROM cnt)
+SELECT token, cnt, TRUE AS in_mg, TRUE AS count_within_bound
+FROM cnt, tot
+WHERE cnt * {counters + 1} > n
+"""
+
+
+MG_CHECK_SQL = mg_check_sql()
+
+
+def events_value_quantiles_hist_check(sf_dir: str, bins: int = HIST_BINS):
+    """(event_type, p50_ok, p90_ok): the histogram-sketch quantiles must
+    land within one bin width ((max-min)/bins per type) of the exact
+    quantile_disc values from the ``events_type_quantiles`` distribution
+    reduce (which reports integer cents — the 0.005 rounding slack is added
+    to the bound).  Both inputs are #event_type-sized results."""
+    import pandas as pd
+    import ray
+
+    from ..pipelines.relational import events_type_quantiles
+
+    approx = events_value_quantiles_hist(sf_dir, bins=bins).to_pandas()
+    exact = events_type_quantiles(sf_dir).to_pandas()
+
+    # per-type value range (same two-column pruned read as the sketch)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False)["value"].agg(
+            ["min", "max"]
+        )
+        return g.reset_index() if "event_type" not in g.columns else g
+
+    ranges = (
+        ds.map_batches(range_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(lo=("min", "min"), hi=("max", "max"))
+    )
+    m = approx.merge(exact, on="event_type").merge(ranges, on="event_type")
+    width = (m["hi"] - m["lo"]) / bins
+    slack = width + 0.005 + 1e-9  # bin width + cents rounding
+    p50_ok = (m["p50"] - m["p50_cents"] / 100.0).abs() <= slack
+    p90_ok = (m["p90"] - m["p90_cents"] / 100.0).abs() <= slack
+    return pd.DataFrame(
+        {
+            "event_type": m["event_type"],
+            "p50_ok": p50_ok.astype(bool),
+            "p90_ok": p90_ok.astype(bool),
+        }
+    )
+
+
+HIST_CHECK_SQL = """
+SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok
+FROM events GROUP BY event_type
+"""

@@ -117,6 +117,10 @@ def _check(entry_mod, con, name):
         "docs_quality",
         "docs_langid",
         "emb_knn_bruteforce",
+        # sketch-accuracy boolean verdicts (oracle = exact values + TRUE)
+        "events_user_hll_check",
+        "docs_top_tokens_mg_check",
+        "events_value_quantiles_hist_check",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

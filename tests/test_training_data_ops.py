@@ -443,6 +443,29 @@ def test_payload_sized_batching(ray_session):
     # a 4 MB target over ~160-byte fake payloads caps at max_batch
     assert payload_sized_batch(ds, target_batch_bytes=4 << 20) == 256
 
+    # video flat_map path (the multimodal_video_frames driver query): the
+    # per-payload frame count is a pure function of payload bytes, so the
+    # row count is deterministic, and decode_media's default batch sizing
+    # is payload-byte-derived for video exactly as for images
+    import math
+
+    from nlp_series_relation_extraction_ray.stages.multimodal import (
+        FrameSampleStage,
+        decode_media,
+    )
+
+    vids = synth_media_table(6, kind="video")
+    a = FrameSampleStage(every_n=10)(vids)
+    assert a.equals(FrameSampleStage(every_n=10)(vids))
+    expected = sum(
+        math.ceil((30 + len(p) % 90) / 10)
+        for p in vids["payload"].to_pylist()
+    )
+    assert a.num_rows == expected
+    vds = ray.data.from_arrow(vids)
+    assert decode_media(vds, kind="video").count() == expected
+    assert payload_sized_batch(vds, target_batch_bytes=400) >= 1
+
 
 @pytest.mark.skipif(
     not pytest.importorskip("importlib").util.find_spec("PIL"),

@@ -188,6 +188,23 @@ def _kg_edges_checkpoint(sf_dir: str):
     return _SHARED_CACHE[key]
 
 
+def _kg_nodes_checkpoint(sf_dir: str):
+    """Materialized node table for queries that JOIN against nodes
+    (edge enrichment) — canonicalization runs once per sf_dir."""
+    key = ("kg_nodes", sf_dir)
+    if key not in _SHARED_CACHE:
+        _SHARED_CACHE[key] = _kg_nodes(sf_dir).materialize()
+    return _SHARED_CACHE[key]
+
+
+def _kg_edges_named(sf_dir: str):
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_edges_named
+
+    return kg_edges_named(
+        _kg_edges_checkpoint(sf_dir), _kg_nodes_checkpoint(sf_dir)
+    )
+
+
 def _kg_node_degrees(sf_dir: str):
     from nlp_series_relation_extraction_ray.pipelines.kg import (
         kg_node_degrees,
@@ -590,6 +607,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 sk.events_value_quantiles_hist_check,
         }
     )
+
+    q.update(
+        {
+            # HAVING-filtered fact⋈fact join + top-k late materialization
+            "q18_large_orders": rel.q18_large_orders,
+            # cumulative per-user window (SUM OVER ... UNBOUNDED PRECEDING)
+            "events_running_total": rel.events_running_total,
+            # boolean AND retrieval (vectorized map-side scan)
+            "docs_search_and": rel.docs_search_and,
+            # percentile-cutoff quality filter (two-pass, exact p25)
+            "docs_quality_filter": rel.docs_quality_filter,
+            # KG edge enrichment: two shuffle joins against the node table
+            "kg_edges_named": _kg_edges_named,
+            # SemDeDup-flavor semantic dedup over embedding clusters
+            # (rows-only: k-means + float cosine; planted-dup pytest)
+            "emb_semantic_dedup": lambda sf: sim.semantic_dedup_keep(
+                _embs(sf)
+            ),
+        }
+    )
     return q
 
 
@@ -708,6 +745,18 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "events_user_hll_check": sk.HLL_CHECK_SQL,
         "docs_top_tokens_mg_check": sk.MG_CHECK_SQL,
         "events_value_quantiles_hist_check": sk.HIST_CHECK_SQL,
+        "q18_large_orders": rel.Q18_SQL,
+        "events_running_total": rel.RUNNING_TOTAL_SQL,
+        "docs_search_and": rel.SEARCH_AND_SQL,
+        "docs_quality_filter": rel.QUALITY_FILTER_SQL,
+        "kg_edges_named": f"""WITH edges AS ({fsql.kg_edges_sql()}),
+nodes AS ({fsql.kg_nodes_sql()})
+SELECT e.src_id, ns.canonical_name AS src_name,
+  e.dst_id, nd.canonical_name AS dst_name,
+  e.predicate, e.qualifiers_json, e.weight
+FROM edges e
+JOIN nodes ns ON ns.entity_id = e.src_id
+JOIN nodes nd ON nd.entity_id = e.dst_id""",
         # docs_near_dup_pairs / docs_simhash / docs_fingerprints /
         # emb_dup_pairs / emb_knn_ivf / multimodal_image_decode are
         # intentionally rows-only (hash-family and approximate operators are

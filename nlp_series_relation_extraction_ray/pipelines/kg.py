@@ -810,3 +810,42 @@ def kg_components(edges_ds, max_iters: int = 25,
     # converged labels stay distributed: the output is pair-graph-sized
     # (above the gate that can be huge), so only rename per batch
     return labels.map_batches(_rename, batch_format="pandas")
+
+
+def kg_edges_named(edges_ds, nodes_ds):
+    """Edge enrichment: attach src/dst canonical names to every edge — the
+    human-readable KG export (and the generic pattern for decorating a
+    corpus-scale edge list with a corpus-scale node attribute).
+
+    Two shuffle joins on the entity id — at 100 TB the node table is
+    corpus-scale (every distinct canonicalized entity), so a broadcast
+    would not survive; each join moves only the projected (id, name)
+    pairs plus the edge columns already in flight.  Nodes are unique by
+    ``entity_id`` (canonicalization's group key), so both joins are 1:1.
+    """
+    from ..functions.joins import shuffle_join
+
+    names = nodes_ds.select_columns(["entity_id", "canonical_name"])
+
+    def as_src(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"entity_id": "src_id",
+                                  "canonical_name": "src_name"})
+
+    def as_dst(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"entity_id": "dst_id",
+                                  "canonical_name": "dst_name"})
+
+    edges = edges_ds.select_columns(
+        ["src_id", "dst_id", "predicate", "qualifiers_json", "weight"]
+    )
+    with_src = shuffle_join(
+        edges, names.map_batches(as_src, batch_format="pandas"), on="src_id"
+    )
+    named = shuffle_join(
+        with_src, names.map_batches(as_dst, batch_format="pandas"),
+        on="dst_id",
+    )
+    return named.select_columns(
+        ["src_id", "src_name", "dst_id", "dst_name", "predicate",
+         "qualifiers_json", "weight"]
+    )

@@ -1930,7 +1930,7 @@ FROM documents GROUP BY ROLLUP(lang, source)
 
 
 def docs_tfidf_terms(sf_dir: str, k: int = 3,
-                     heavy_df_threshold: int = 1000):
+                     heavy_df_threshold: int | None = None):
     """Top-k distinctive terms per document, ranked by (tf DESC, df ASC,
     token ASC) — the tf-idf ordering (frequent in the doc, rare across the
     corpus) kept integer-exact so the SQL oracle matches value-for-value.
@@ -1944,22 +1944,36 @@ def docs_tfidf_terms(sf_dir: str, k: int = 3,
        token-keyed bucketed merge — a distributed ``(token, df)`` table.
     3. df attach is a HYBRID join split by frequency:
        - HEAVY tokens (``df >= heavy_df_threshold``) are collected and
-         broadcast via ``ray.put`` — bounded by construction: at most
-         ``total_doc_token_pairs / heavy_df_threshold`` entries (e.g.
-         1e13 pairs / 1e6 threshold = ≤1e7 dict entries), never the
-         vocabulary.  These are exactly the shuffle-skew keys (stopwords),
-         so broadcasting them also removes every hot reducer.
+         broadcast via ``ray.put``.  The default threshold is
+         ``n_docs / 200`` — SCALE-FREE by construction: a heavy token
+         appears in ≥ 0.5% of documents, so there are at most
+         ``200 × avg_tokens_per_doc`` of them at ANY corpus size (a
+         hundred thousand entries for natural text), never the
+         vocabulary.
+         These are exactly the shuffle-skew keys (stopwords), so
+         broadcasting them also removes every hot reducer.
        - LIGHT tokens shuffle-join against the distributed light-df table;
          every light key has < threshold rows, so no reducer hotspot.
+       Either side short-circuits when empty (a controlled small
+       vocabulary has no light tail; a near-unique id-like column has no
+       heavy head) — the common single-branch corpora pay one pass.
     4. One doc-keyed bucketed reduce ranks top-k per doc (vectorized
        groupby-cumcount, never per-row Python).
 
-    The heavy/light branches re-execute the map-side explode (Ray Data
-    recomputes shared lineage rather than caching it): three streaming
-    column-pruned passes over ``text`` total — a deliberate trade against
-    materializing the corpus-sized (doc, token, tf) explode in the object
-    store."""
+    When both branches are live they re-execute the map-side explode (Ray
+    Data recomputes shared lineage rather than caching it): three
+    streaming column-pruned passes over ``text`` total — a deliberate
+    trade against materializing the corpus-sized (doc, token, tf) explode
+    in the object store."""
     import ray
+
+    import pyarrow.parquet as pq
+
+    if heavy_df_threshold is None:
+        n_docs = pq.ParquetFile(
+            f"{sf_dir}/documents.parquet"
+        ).metadata.num_rows
+        heavy_df_threshold = max(2, n_docs // 200)
 
     from ..functions.grouping import bucketed_group_apply
 
@@ -2027,6 +2041,12 @@ def docs_tfidf_terms(sf_dir: str, k: int = 3,
     )  # empty filter result drops the schema entirely
     heavy_ref = ray.put(heavy_map)
     light_df_tbl = df_tbl.map_batches(keep_light, batch_format="pyarrow")
+    # df_tbl is materialized and token-scale (tiny next to the explode), so
+    # counting the light side is cheap — and when a corpus has NO light
+    # tokens (every token clears the threshold, common for small controlled
+    # vocabularies), the whole split/shuffle-join branch is dead weight:
+    # attach everything map-side and skip the second explode recompute
+    n_light = light_df_tbl.count()
 
     def split_heavy(batch: pa.Table) -> pa.Table:
         """Attach df map-side for heavy tokens; mark the light rest with
@@ -2047,17 +2067,28 @@ def docs_tfidf_terms(sf_dir: str, k: int = 3,
         return batch.filter(pc.less(batch["df"], 0)).drop_columns(["df"])
 
     tagged = tf_ds.map_batches(split_heavy, batch_format="pyarrow")
-    heavy_rows = tagged.map_batches(keep_attached, batch_format="pyarrow")
-    light_rows = tagged.map_batches(keep_unattached, batch_format="pyarrow")
+    if n_light == 0:
+        # all-heavy corpus: every tf row attaches map-side in one pass
+        attached = tagged
+    else:
+        heavy_rows = tagged.map_batches(keep_attached,
+                                        batch_format="pyarrow")
+        light_rows = tagged.map_batches(keep_unattached,
+                                        batch_format="pyarrow")
 
-    from ..functions.joins import shuffle_join
+        from ..functions.joins import shuffle_join
 
-    light_joined = shuffle_join(light_rows, light_df_tbl, on="token")
-    attached = heavy_rows.union(
-        light_joined.select_columns(["doc_id", "token", "tf", "df"])
-    )
+        light_joined = shuffle_join(light_rows, light_df_tbl, on="token")
+        attached = heavy_rows.union(
+            light_joined.select_columns(["doc_id", "token", "tf", "df"])
+        )
 
     def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # the light-tail shuffle join NaN-promotes ints to float64 (union
+        # schema fill); restore exact integer dtypes before ranking
+        for c in ("doc_id", "tf", "df"):
+            df[c] = df[c].astype("int64")
         df = df.sort_values(
             ["doc_id", "tf", "df", "token"],
             ascending=[True, False, True, True],
@@ -2303,4 +2334,286 @@ SELECT f.first_day AS cohort_day,
   COUNT(*) AS n_users
 FROM d JOIN f USING (user_id)
 GROUP BY 1, 2
+"""
+
+
+# --- Q18: HAVING-filtered fact⋈fact join + top-k late materialization ----
+
+
+def q18_large_orders(sf_dir: str, min_qty: float = 300.0, k: int = 20):
+    """TPC-H Q18 shape: customers holding the largest orders whose total
+    lineitem quantity exceeds ``min_qty``.
+
+    Scale shape: lineitem streams to per-orderkey quantity partials
+    (map-side combiner), one bucketed merge applies the HAVING filter —
+    after which only the qualifying orderkeys (a tiny, threshold-controlled
+    fraction) move.  Shuffle #2 attaches order header columns
+    (fact⋈filtered-fact on orderkey); per-batch partial top-k by
+    totalprice bounds the driver collect at #batches × k rows; customer
+    names late-materialize via one pushdown-filtered read of exactly the
+    k winners (as in :func:`q10_returned_revenue` — name columns of 10⁸
+    customers never leave storage).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.grouping import bucketed_group_apply
+
+    min_qty_cents = int(round(min_qty * 100))
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "qty_cents": cents(df["l_quantity"].to_numpy()),
+            }
+        )
+        return out.groupby("l_orderkey", as_index=False).agg(
+            qty_cents=("qty_cents", "sum")
+        ).astype("int64")
+
+    def qty_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            qty_cents=("qty_cents", "sum")
+        ).astype("int64")
+        return g[g["qty_cents"] > min_qty_cents]  # HAVING, applied in-reduce
+
+    qualifying = bucketed_group_apply(
+        line.map_batches(qty_partial, batch_format="pandas"),
+        "l_orderkey",
+        qty_merge,
+    )
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"].astype("int64"),
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "total_cents": cents(df["o_totalprice"].to_numpy()),
+            }
+        )
+
+    joined = shuffle_join(
+        qualifying,
+        orders.map_batches(order_rows, batch_format="pandas"),
+        on="l_orderkey",
+    )
+
+    def topk_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["total_cents", "l_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    ranked = (
+        joined.map_batches(topk_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["total_cents", "l_orderkey"],
+                     ascending=[False, True])
+        .head(k)
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filters=pc.field("c_custkey").isin(ranked["o_custkey"].tolist()),
+    ).to_pandas()
+    out = ranked.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})[
+        ["o_orderkey", "o_custkey", "c_name", "total_cents", "qty_cents"]
+    ]
+    for c in ("o_orderkey", "o_custkey", "total_cents", "qty_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q18_sql(min_qty: float = 300.0, k: int = 20) -> str:
+    return f"""
+SELECT o.o_orderkey, o.o_custkey, c.c_name,
+  CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+  CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS qty_cents
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+HAVING SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+  > {int(round(min_qty * 100))}
+ORDER BY total_cents DESC, o.o_orderkey LIMIT {k}
+"""
+
+
+Q18_SQL = q18_sql()
+
+
+# --- cumulative window: per-user running total ----------------------------
+
+
+def events_running_total(sf_dir: str):
+    """Per event: the user's cumulative value sum up to and including it
+    (``SUM OVER (PARTITION BY user ORDER BY ts) ROWS UNBOUNDED PRECEDING``).
+
+    Same physical plan as :func:`events_prev_lag` — ``groupby(user_id)``
+    co-locates each user's history, the in-group sort restores time order,
+    and the running total is a vectorized cumsum with a subtraction reset
+    at user boundaries (no per-user Python loop).  Fixed-point cents keep
+    the sum order-independent and oracle-exact.
+    """
+    from ..functions.grouping import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        users = df["user_id"].to_numpy()
+        c = cents(df["value"].to_numpy())
+        cum = np.cumsum(c)
+        # reset at user boundaries: subtract the cumulative total at each
+        # user's start (propagated forward) — one vectorized pass
+        starts = np.zeros(len(df), dtype=np.int64)
+        if len(df):
+            boundary = np.flatnonzero(users[1:] != users[:-1]) + 1
+            starts[boundary] = cum[boundary - 1]
+            starts = np.maximum.accumulate(starts)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "running_cents": cum - starts,
+            }
+        )
+
+    return bucketed_group_apply(ds, "user_id", running)
+
+
+RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS running_cents
+FROM events
+"""
+
+
+# --- boolean AND retrieval scan -------------------------------------------
+
+
+def docs_search_and(sf_dir: str, tokens: tuple[str, ...] = ("window", "sort")):
+    """Documents containing ALL query tokens (boolean AND retrieval).
+
+    Without a prebuilt index the scale-honest plan is a fully vectorized
+    map-side scan: zero shuffles, zero driver state — each Arrow batch is
+    filtered with ``pyarrow.compute.match_substring`` on space-padded text
+    (exact token-boundary match in this single-space-separated corpus; a
+    tokenizer-backed membership test replaces the padding trick for
+    punctuated corpora).  The indexed alternative reads only the query
+    tokens' posting lists (:func:`docs_posting_lists` materializes them);
+    intersection then moves #matching-docs rows instead of scanning text.
+    """
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), batch["text"], pa.scalar(" "), ""
+        )
+        mask = None
+        for tok in tokens:
+            m = pc.match_substring(padded, f" {tok} ")
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask).select(["doc_id"])
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def search_and_sql(tokens: tuple[str, ...] = ("window", "sort")) -> str:
+    conds = " AND ".join(
+        f"list_contains(string_split(text, ' '), '{t}')" for t in tokens
+    )
+    return f"SELECT doc_id FROM documents WHERE {conds}"
+
+
+SEARCH_AND_SQL = search_and_sql()
+
+
+# --- percentile-cutoff quality filter (two-pass corpus filter) ------------
+
+
+def docs_quality_filter(sf_dir: str, q_num: int = 1, q_den: int = 4):
+    """Keep documents whose distinct-word count is at or above the corpus
+    p25 — the percentile-thresholded quality filter every training-data
+    pipeline runs (absolute thresholds drift as the corpus mixes; a
+    percentile cutoff self-calibrates).
+
+    Two-pass shape: pass 1 computes the per-doc signal once and
+    materializes it (two int64 columns — ~16 B/row, negligible next to
+    the text corpus it summarizes); its value DISTRIBUTION (per-count
+    counts, bounded by max document length, not corpus size) folds to the
+    driver where the exact order statistic ``ceil(q·n) − 1`` is read off
+    the cumulative counts.  Pass 2 re-filters the materialized signal
+    against the scalar cutoff — the text column is scanned exactly once.
+    """
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signal(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_distinct_words": pa.array(
+                    [len(set(t.split(" "))) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    stats = ds.map_batches(signal, batch_format="pyarrow").materialize()
+
+    def val_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(
+            "n_distinct_words", as_index=False
+        ).agg(cnt=("doc_id", "size"))
+        df["cnt"] = df["cnt"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (
+        stats.map_batches(val_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("n_distinct_words", as_index=False)["cnt"].sum()
+        .sort_values("n_distinct_words")
+    )
+    cum = hist["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+    idx = (n * q_num + q_den - 1) // q_den - 1  # ceil(q*n) - 1, exact
+    cutoff = int(
+        hist["n_distinct_words"].to_numpy()[np.searchsorted(cum, idx + 1)]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch["n_distinct_words"], cutoff)
+        )
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
+
+QUALITY_FILTER_SQL = """
+WITH q AS (
+  SELECT doc_id,
+    len(list_distinct(string_split(text, ' '))) AS n_distinct_words
+  FROM documents
+), c AS (
+  SELECT quantile_disc(n_distinct_words, 0.25) AS cut FROM q
+)
+SELECT doc_id, n_distinct_words FROM q, c WHERE n_distinct_words >= cut
 """

@@ -375,37 +375,11 @@ def kmeans_cluster_stats(emb_ds, n_clusters: int = 16,
     outlier pruning); the stats table is its bounded summary.  Rows-only
     driver check (k-means is not SQL-expressible); assignments are pinned
     against a driver-local numpy reference in pytest."""
-    import hashlib
-
     import ray
 
     from ..functions.grouping import bucketed_group_apply
 
-    # train on a UNIFORM deterministic sample — bottom-k of md5(vec_id),
-    # like textstats.bottomk_sample — not limit(): the first N rows in
-    # dataset order are head-of-corpus-biased on sorted/clustered input
-    def sample_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()[["vec_id", "embedding"]]
-        df["h"] = [
-            hashlib.md5(str(v).encode()).hexdigest() for v in df["vec_id"]
-        ]
-        return pa.Table.from_pandas(
-            df.sort_values("h").head(train_sample), preserve_index=False
-        )
-
-    def sample_final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("h").head(train_sample).drop(columns="h")
-
-    sample = (
-        emb_ds.select_columns(["vec_id", "embedding"])
-        .map_batches(sample_partial, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(sample_final, batch_format="pandas", batch_size=None)
-        .to_pandas()
-    )
-    train = _normalize(
-        np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    )
+    train = uniform_embedding_sample(emb_ds, train_sample)
     cref = ray.put(kmeans_centroids(train, n_clusters))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -440,3 +414,126 @@ def kmeans_cluster_stats(emb_ds, n_clusters: int = 16,
         return out.astype("int64")
 
     return bucketed_group_apply(partials, "cluster", merge)
+
+
+def uniform_embedding_sample(emb_ds, n: int) -> np.ndarray:
+    """Normalized matrix of a UNIFORM deterministic sample — bottom-n of
+    md5(vec_id), like textstats.bottomk_sample — not ``limit()``: the
+    first n rows in dataset order are head-of-corpus-biased on
+    sorted/clustered input.  Partial bottom-n per batch, one single-block
+    final (≤ #batches × n rows move)."""
+    import hashlib
+
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["vec_id", "embedding"]]
+        df["h"] = [
+            hashlib.md5(str(v).encode()).hexdigest() for v in df["vec_id"]
+        ]
+        return pa.Table.from_pandas(
+            df.sort_values("h").head(n), preserve_index=False
+        )
+
+    def sample_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("h").head(n).drop(columns="h")
+
+    sample = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(sample_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(sample_final, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    return _normalize(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    )
+
+
+def semantic_dedup_keep(
+    emb_ds,
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    train_sample: int = 2048,
+    max_cell: int = 4096,
+):
+    """SemDeDup-flavor semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, compare
+    vectors only WITHIN a cluster, and drop every vector whose cosine to
+    an already-kept lower-id cluster member reaches ``threshold``.
+    Output: ``(vec_id, cluster, keep)`` — the apply step filters on keep.
+
+    Scale shape: centroids train on a bounded uniform sample and
+    broadcast; assignment is a streaming argmax; the only shuffle is
+    ``groupby(cluster)``, after which comparisons are cluster-local.
+    ``n_clusters`` scales with the corpus so a cell holds O(corpus/k)
+    vectors; a cell that still exceeds ``max_cell`` is deterministically
+    sub-split by vec_id hash and only same-sub-cell vectors are compared —
+    the same bounded-reducer/recall trade as the LSH ``max_bucket`` cap
+    (stages/dedup.py).  Driver check is rows-only (k-means + float cosine
+    are not SQL-expressible); planted-duplicate behavior is pinned in
+    pytest.
+    """
+    import ray
+
+    from ..functions.grouping import bucketed_group_apply
+    from ..stages.base import worker_cached
+
+    train = uniform_embedding_sample(emb_ds, train_sample)
+    cref = ray.put(kmeans_centroids(train, n_clusters))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = worker_cached(("semdedup_cents", cref.hex()),
+                              lambda: ray.get(cref))
+        vecs, ids = _batch_matrix(batch)
+        vecs = _normalize(vecs)
+        cl = np.argmax(vecs @ cents.T, axis=1).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    assigned = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    def dedup_cells(df: pd.DataFrame) -> pd.DataFrame:
+        out_ids: list[np.ndarray] = []
+        out_cl: list[np.ndarray] = []
+        out_keep: list[np.ndarray] = []
+        for cl, g in df.groupby("cluster"):
+            g = g.sort_values("vec_id")
+            n_sub = max(1, -(-len(g) // max_cell))  # ceil
+            sub = (g["vec_id"].to_numpy() % np.int64(n_sub)
+                   if n_sub > 1 else np.zeros(len(g), dtype=np.int64))
+            for s in range(n_sub):
+                cell = g[sub == s]
+                mat = _normalize(
+                    np.stack(cell["embedding"].to_numpy()).astype(
+                        np.float64)
+                )
+                sims = mat @ mat.T
+                keep = np.ones(len(cell), dtype=bool)
+                for i in range(1, len(cell)):
+                    # kept lower-id members only: greedy keep-first
+                    if np.any(sims[i, :i][keep[:i]] >= threshold):
+                        keep[i] = False
+                out_ids.append(cell["vec_id"].to_numpy())
+                out_cl.append(np.full(len(cell), cl, dtype=np.int64))
+                out_keep.append(keep)
+        if not out_ids:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "cluster": pd.Series([], dtype="int64"),
+                 "keep": pd.Series([], dtype="bool")}
+            )
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_ids),
+                "cluster": np.concatenate(out_cl),
+                "keep": np.concatenate(out_keep),
+            }
+        )
+
+    return bucketed_group_apply(assigned, "cluster", dedup_cells)

@@ -121,6 +121,12 @@ def _check(entry_mod, con, name):
         "events_user_hll_check",
         "docs_top_tokens_mg_check",
         "events_value_quantiles_hist_check",
+        # round-4 additions
+        "q18_large_orders",
+        "events_running_total",
+        "docs_search_and",
+        "docs_quality_filter",
+        "kg_edges_named",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

@@ -782,3 +782,77 @@ def test_dup_clusters_distributed_path_matches_fast(ray_session):
     dist = dup_clusters(docs, pairs, small_edge_limit=0).to_pandas()
     key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(key(fast), key(dist))
+
+
+def test_semantic_dedup_drops_planted_near_dups(ray_session):
+    """SemDeDup-style keep/drop: within a k-means cell, every vector whose
+    cosine to an already-kept LOWER-ID member clears the threshold is
+    dropped; the lowest id of each duplicate set survives."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.similarity import (
+        semantic_dedup_keep,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype(np.float32)
+    # plant: ids 100/101/102 identical; 200/201 near-identical (cos ~0.999)
+    base[10] = base[11] = base[12]
+    base[20] = base[21] + rng.randn(16).astype(np.float32) * 1e-3
+    ids = np.arange(40, dtype=np.int64)
+    ids[10:13] = [100, 101, 102]
+    ids[20:22] = [200, 201]
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in base], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = semantic_dedup_keep(
+        ds, n_clusters=4, threshold=0.97, train_sample=40
+    ).to_pandas().set_index("vec_id")
+    assert len(out) == 40  # every vector classified exactly once
+    assert bool(out.loc[100, "keep"])          # lowest id of the triple
+    assert not bool(out.loc[101, "keep"])
+    assert not bool(out.loc[102, "keep"])
+    assert bool(out.loc[200, "keep"])
+    assert not bool(out.loc[201, "keep"])
+    # determinism: identical second run
+    out2 = semantic_dedup_keep(
+        ds, n_clusters=4, threshold=0.97, train_sample=40
+    ).to_pandas().set_index("vec_id")
+    pd.testing.assert_frame_equal(out.sort_index(), out2.sort_index())
+    # sub-cell capping still classifies everything exactly once
+    capped = semantic_dedup_keep(
+        ds, n_clusters=2, threshold=0.97, train_sample=40, max_cell=8
+    ).to_pandas()
+    assert len(capped) == 40
+    assert set(capped["vec_id"]) == set(ids.tolist())
+
+
+def test_tfidf_hybrid_paths_identical(ray_session):
+    """The three df-attach plans (all-heavy broadcast, all-light shuffle
+    join, mixed hybrid) must produce identical top-k tables."""
+    from nlp_series_relation_extraction_ray.pipelines.relational import (
+        docs_tfidf_terms,
+    )
+
+    def run(thr):
+        return (
+            docs_tfidf_terms(SF, heavy_df_threshold=thr)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    default = run(None)       # scale-free n_docs/200 default
+    all_heavy = run(2)        # every token clears the threshold
+    all_light = run(10**9)    # nothing does: pure shuffle join
+    mixed = run(45)           # sf0.001 dfs straddle 45: both branches live
+    pd.testing.assert_frame_equal(default, all_heavy)
+    pd.testing.assert_frame_equal(default, all_light)
+    pd.testing.assert_frame_equal(default, mixed)

@@ -424,6 +424,21 @@ def _media_audio(sf_dir: str):
     )
 
 
+def _media_resize(sf_dir: str):
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.multimodal import (
+        decode_media,
+        synth_media_table,
+    )
+
+    n = min(_n_convs(sf_dir), 200)
+    return decode_media(
+        ray.data.from_arrow(synth_media_table(n, kind="image")),
+        kind="resize",
+    )
+
+
 def entry() -> Any:
     """Flagship: full extraction over the sf0.001-scale synthetic corpus."""
     return _extract("/root/testdata/sf0.001", "baseline")
@@ -625,6 +640,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "emb_semantic_dedup": lambda sf: sim.semantic_dedup_keep(
                 _embs(sf)
             ),
+            # correlated scalar subquery, decorrelated to agg+broadcast
+            "parts_above_brand_avg": rel.parts_above_brand_avg,
+            # conditional aggregation / PIVOT (map-side crosstab partials)
+            "events_user_type_pivot": rel.events_user_type_pivot,
+            # grouped collect (string_agg) over a broadcast dimension join
+            "region_nations_list": rel.region_nations_list,
+            # image resize actor stage (rows-only: stubbed kernel,
+            # real plumbing — same contract as image decode)
+            "multimodal_image_resize": _media_resize,
         }
     )
     return q
@@ -749,6 +773,9 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "events_running_total": rel.RUNNING_TOTAL_SQL,
         "docs_search_and": rel.SEARCH_AND_SQL,
         "docs_quality_filter": rel.QUALITY_FILTER_SQL,
+        "parts_above_brand_avg": rel.ABOVE_BRAND_AVG_SQL,
+        "events_user_type_pivot": rel.USER_TYPE_PIVOT_SQL,
+        "region_nations_list": rel.REGION_NATIONS_SQL,
         "kg_edges_named": f"""WITH edges AS ({fsql.kg_edges_sql()}),
 nodes AS ({fsql.kg_nodes_sql()})
 SELECT e.src_id, ns.canonical_name AS src_name,

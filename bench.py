@@ -215,6 +215,15 @@ def bench_queries(sf_dir: str) -> dict:
         "events_retention",
         "events_value_quantiles_hist",
         "emb_kmeans_clusters",
+        # round-4 additions
+        "q18_large_orders",
+        "events_running_total",
+        "docs_search_and",
+        "docs_quality_filter",
+        "kg_edges_named",
+        "emb_semantic_dedup",
+        "events_user_hll_check",
+        "docs_top_tokens_mg_check",
     ]
     qs = entry.queries()
     # the KG build cost is reported by bench_kg; pre-warm the shared edge

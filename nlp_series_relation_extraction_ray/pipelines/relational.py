@@ -2617,3 +2617,172 @@ WITH q AS (
 )
 SELECT doc_id, n_distinct_words FROM q, c WHERE n_distinct_words >= cut
 """
+
+
+# --- correlated scalar subquery: rows above their group's average ---------
+
+
+def parts_above_brand_avg(sf_dir: str):
+    """Parts priced strictly above their brand's average retail price —
+    the correlated-scalar-subquery shape (``WHERE x > (SELECT AVG ...
+    correlated on brand)``).
+
+    Decorrelated the way every engine plans it: one pass builds per-brand
+    (sum_cents, n) partials (map-side combiner; #brands rows move, not
+    parts), the merged per-brand averages — a GROUP-cardinality dimension,
+    unlike the corpus-cardinality percentile in
+    :func:`docs_quality_filter` — broadcast via ``ray.put``, and a second
+    streaming pass filters map-side.  The comparison runs in integer
+    cross-multiplication (``price_cents · n > sum_cents``), so no float
+    average ever exists to disagree with the oracle.
+    """
+    import ray
+
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def brand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p_brand": df["p_brand"],
+                "sum_cents": cents(df["p_retailprice"].to_numpy()),
+                "n": np.int64(1),
+            }
+        )
+        return out.groupby("p_brand", as_index=False).agg(
+            sum_cents=("sum_cents", "sum"), n=("n", "sum")
+        )
+
+    brand = (
+        ds.map_batches(brand_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("p_brand", as_index=False)
+        .agg(sum_cents=("sum_cents", "sum"), n=("n", "sum"))
+    )
+    bref = ray.put(
+        {b: (int(s), int(n)) for b, s, n in
+         zip(brand["p_brand"], brand["sum_cents"], brand["n"])}
+    )
+
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.base import worker_cached
+
+        m = worker_cached(("brand_avg", bref.hex()), lambda: ray.get(bref))
+        price = cents(df["p_retailprice"].to_numpy())
+        sums = df["p_brand"].map(lambda b: m[b][0]).to_numpy(np.int64)
+        ns = df["p_brand"].map(lambda b: m[b][1]).to_numpy(np.int64)
+        keep = price * ns > sums
+        out = pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"].astype("int64"),
+                "p_brand": df["p_brand"],
+                "price_cents": price,
+            }
+        )
+        return out[keep].reset_index(drop=True)
+
+    return ds.map_batches(above, batch_format="pandas")
+
+
+ABOVE_BRAND_AVG_SQL = """
+WITH b AS (
+  SELECT p_brand,
+    SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS sum_cents,
+    COUNT(*) AS n
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_partkey, p.p_brand,
+  CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM part p JOIN b USING (p_brand)
+WHERE CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT) * b.n > b.sum_cents
+"""
+
+
+# --- pivot / conditional aggregation ---------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_user_type_pivot(sf_dir: str):
+    """Per-user event counts pivoted to one column per event type
+    (``COUNT(*) FILTER (WHERE type = ...)``) — the conditional-aggregation
+    / PIVOT shape.
+
+    The pivot happens MAP-SIDE (a pandas crosstab per batch against the
+    closed type universe), so the shuffle carries one wide partial row per
+    (user, batch) — #types integer columns — and the merge is a plain sum
+    per user; at 10¹² events the exchange scales with users, not events.
+    """
+    from ..functions.grouping import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def pivot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for t in _EVENT_TYPES:  # closed universe: absent types are zero
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[list(_EVENT_TYPES)].astype("int64")
+        ct.columns = cols
+        return ct.reset_index().astype({"user_id": "int64"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False)[cols].sum()
+        return out.astype({c: "int64" for c in ["user_id"] + cols})
+
+    return bucketed_group_apply(
+        ds.map_batches(pivot_partial, batch_format="pandas"),
+        "user_id", merge,
+    )
+
+
+USER_TYPE_PIVOT_SQL = f"""
+SELECT user_id,
+  {", ".join(
+      f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+      for t in _EVENT_TYPES
+  )}
+FROM events GROUP BY user_id
+"""
+
+
+# --- grouped collect (string_agg) ------------------------------------------
+
+
+def region_nations_list(sf_dir: str):
+    """Per region: the sorted comma-joined list of its nation names — the
+    grouped-collect (``string_agg`` / ``collect_list``) aggregate.
+
+    Nation⋈region is a broadcast dimension join; the collect itself is a
+    bucketed reduce whose per-group payload is bounded by the group's
+    member count (here 5; at corpus scale a collect over an unbounded
+    group needs the provenance-style cap used in ``stages/graph.py``).
+    """
+    from ..functions.grouping import coalesced_group_apply
+
+    nations = _read(sf_dir, "nation",
+                    columns=["n_name", "n_regionkey"])
+    regions = _read(sf_dir, "region",
+                    columns=["r_regionkey", "r_name"]).to_pandas()
+    joined = broadcast_join(nations, regions,
+                            left_on="n_regionkey", right_on="r_regionkey")
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("r_name")["n_name"].apply(
+            lambda s: ",".join(sorted(s))
+        )
+        out = g.reset_index().rename(columns={"n_name": "nations"})
+        out["n_nations"] = out["nations"].str.count(",") + 1
+        out["n_nations"] = out["n_nations"].astype("int64")
+        return out
+
+    return coalesced_group_apply(joined, "r_name", collect)
+
+
+REGION_NATIONS_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+  COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""

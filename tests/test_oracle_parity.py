@@ -127,6 +127,9 @@ def _check(entry_mod, con, name):
         "docs_search_and",
         "docs_quality_filter",
         "kg_edges_named",
+        "parts_above_brand_avg",
+        "events_user_type_pivot",
+        "region_nations_list",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

@@ -649,6 +649,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # image resize actor stage (rows-only: stubbed kernel,
             # real plumbing — same contract as image decode)
             "multimodal_image_resize": _media_resize,
+            # approximate-operator accuracy gates (boolean-verdict, same
+            # pattern as the sketch *_check queries): LSH high-similarity
+            # recall + in-bucket precision; IVF per-query recall@k
+            "docs_near_dup_check": lambda sf: dd.near_dup_check(
+                _docs(sf), pairs_df=_near_dup_pairs(sf)
+            ),
+            "emb_ivf_recall_check": lambda sf: sim.ivf_recall_check(
+                _embs(sf)
+            ),
         }
     )
     return q
@@ -776,6 +785,8 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "parts_above_brand_avg": rel.ABOVE_BRAND_AVG_SQL,
         "events_user_type_pivot": rel.USER_TYPE_PIVOT_SQL,
         "region_nations_list": rel.REGION_NATIONS_SQL,
+        "docs_near_dup_check": dd.NEAR_DUP_CHECK_SQL,
+        "emb_ivf_recall_check": sim.IVF_RECALL_CHECK_SQL,
         "kg_edges_named": f"""WITH edges AS ({fsql.kg_edges_sql()}),
 nodes AS ({fsql.kg_nodes_sql()})
 SELECT e.src_id, ns.canonical_name AS src_name,

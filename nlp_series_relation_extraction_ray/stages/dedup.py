@@ -440,7 +440,8 @@ def _word_ngrams(text: str, n: int) -> set[str]:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
-NGRAM_JACCARD_SQL = """
+def ngram_jaccard_sql(min_pct: int = 30) -> str:
+    return f"""
 WITH s AS (
   SELECT doc_id, lang, n_chars // 64 AS lb,
     list_distinct(
@@ -465,8 +466,11 @@ SELECT doc_a, doc_b,
   CAST(CASE WHEN uni = 0 THEN 100 ELSE 100 * inter // uni END AS BIGINT)
     AS jaccard_pct
 FROM pairs
-WHERE (CASE WHEN uni = 0 THEN 100 ELSE 100 * inter // uni END) >= 30
+WHERE (CASE WHEN uni = 0 THEN 100 ELSE 100 * inter // uni END) >= {min_pct}
 """
+
+
+NGRAM_JACCARD_SQL = ngram_jaccard_sql()
 
 
 # ---- SimHash -------------------------------------------------------------
@@ -1137,3 +1141,57 @@ FROM dg a JOIN keep USING (g) JOIN dg b USING (g)
 WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """
+
+
+def near_dup_check(docs_ds, pairs_df=None, threshold: float = 0.7,
+                   high_pct: int = 90):
+    """Boolean-verdict accuracy gate for the MinHash/LSH chain — the
+    approximate operator's guarantees as a driver-decidable predicate
+    (same pattern as the sketch ``*_check`` queries):
+
+    - PRECISION: every surfaced pair's in-bucket exact verification must
+      clear the threshold (restated from the output data, not assumed).
+    - RECALL at the high end: every pair whose EXACT blocked word-3-gram
+      Jaccard (:func:`ngram_jaccard_pairs`, SQL-expressible) reaches
+      ``high_pct`` — far above the LSH S-curve knee for 128 perms — must
+      appear in the LSH pair set.
+
+    Emits one row ``(n_high_pairs, n_high_covered, all_pairs_verified)``;
+    the DuckDB oracle computes ``n_high_pairs`` exactly and expects
+    ``n_high_covered = n_high_pairs`` and ``TRUE`` — a hash-exact match IS
+    the bound check.  Driver-side data is pair-graph-sized (a diagnostics
+    query, bounded by the corpus dup rate, not its size)."""
+    if pairs_df is None:
+        pairs_df = near_dup_pairs_distributed(
+            docs_ds, threshold=threshold
+        ).to_pandas()
+    elif hasattr(pairs_df, "to_pandas"):
+        pairs_df = pairs_df.to_pandas()
+    truth = ngram_jaccard_pairs(docs_ds, min_pct=high_pct).to_pandas()
+    lsh_set = set(zip(pairs_df["doc_a"], pairs_df["doc_b"]))
+    covered = int(sum(
+        (a, b) in lsh_set
+        for a, b in zip(truth["doc_a"], truth["doc_b"])
+    ))
+    verified = bool(
+        (pairs_df["jaccard_pct"] >= int(round(threshold * 100))).all()
+    )
+    return pd.DataFrame(
+        {
+            "n_high_pairs": pd.Series([len(truth)], dtype="int64"),
+            "n_high_covered": pd.Series([covered], dtype="int64"),
+            "all_pairs_verified": pd.Series([verified], dtype="bool"),
+        }
+    )
+
+
+def near_dup_check_sql(high_pct: int = 90) -> str:
+    return f"""
+WITH p AS ({ngram_jaccard_sql(min_pct=high_pct)})
+SELECT COUNT(*) AS n_high_pairs, COUNT(*) AS n_high_covered,
+       TRUE AS all_pairs_verified
+FROM p
+"""
+
+
+NEAR_DUP_CHECK_SQL = near_dup_check_sql()

@@ -537,3 +537,41 @@ def semantic_dedup_keep(
         )
 
     return bucketed_group_apply(assigned, "cluster", dedup_cells)
+
+
+def ivf_recall_check(emb_ds, n_queries: int = 5, k: int = 10,
+                     n_clusters: int = 8, n_probe: int = 6,
+                     min_recall_pct: int = 80):
+    """Boolean-verdict accuracy gate for IVF search: per query, the
+    IVF top-k must recover at least ``min_recall_pct``% of the exact
+    brute-force top-k (the standard ANN recall@k bound).  Emits
+    ``(query_id, recall_ok)``; the oracle lists the query ids with
+    literal TRUE, so a hash-exact match verifies the bound per query.
+    Both sides of the comparison are existing operators; the driver-side
+    join is #queries × k rows."""
+    bf = knn_bruteforce(emb_ds, n_queries=n_queries, k=k).to_pandas()
+    ivf = knn_ivf(emb_ds, n_queries=n_queries, k=k,
+                  n_clusters=n_clusters, n_probe=n_probe).to_pandas()
+    rows = []
+    for q in sorted(bf["query_id"].unique()):
+        gt = set(bf.loc[bf["query_id"] == q, "neighbor_id"])
+        got = set(ivf.loc[ivf["query_id"] == q, "neighbor_id"])
+        rows.append(
+            (int(q), 100 * len(gt & got) >= min_recall_pct * len(gt))
+        )
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "recall_ok": pd.Series([r[1] for r in rows], dtype="bool"),
+        }
+    )
+
+
+def ivf_recall_check_sql(n_queries: int = 5) -> str:
+    return f"""
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {n_queries}
+"""
+
+
+IVF_RECALL_CHECK_SQL = ivf_recall_check_sql()

@@ -130,6 +130,8 @@ def _check(entry_mod, con, name):
         "parts_above_brand_avg",
         "events_user_type_pivot",
         "region_nations_list",
+        "docs_near_dup_check",
+        "emb_ivf_recall_check",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

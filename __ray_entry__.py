@@ -658,6 +658,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "emb_ivf_recall_check": lambda sf: sim.ivf_recall_check(
                 _embs(sf)
             ),
+            # RANGE-frame (time-offset) moving window, peers included
+            "events_value_ma_1h": rel.events_value_ma_1h,
+            # predicted-vs-labeled confusion matrix (eval aggregate)
+            "docs_langid_confusion": lambda sf: ts.langid_confusion(
+                _docs(sf)
+            ),
         }
     )
     return q
@@ -787,6 +793,8 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "region_nations_list": rel.REGION_NATIONS_SQL,
         "docs_near_dup_check": dd.NEAR_DUP_CHECK_SQL,
         "emb_ivf_recall_check": sim.IVF_RECALL_CHECK_SQL,
+        "events_value_ma_1h": rel.VALUE_MA_1H_SQL,
+        "docs_langid_confusion": ts.LANGID_CONFUSION_SQL,
         "kg_edges_named": f"""WITH edges AS ({fsql.kg_edges_sql()}),
 nodes AS ({fsql.kg_nodes_sql()})
 SELECT e.src_id, ns.canonical_name AS src_name,

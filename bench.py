@@ -224,6 +224,13 @@ def bench_queries(sf_dir: str) -> dict:
         "emb_semantic_dedup",
         "events_user_hll_check",
         "docs_top_tokens_mg_check",
+        "parts_above_brand_avg",
+        "events_user_type_pivot",
+        "region_nations_list",
+        "docs_near_dup_check",
+        "emb_ivf_recall_check",
+        "events_value_ma_1h",
+        "docs_langid_confusion",
     ]
     qs = entry.queries()
     # the KG build cost is reported by bench_kg; pre-warm the shared edge

@@ -2786,3 +2786,61 @@ SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
+
+
+# --- RANGE-frame moving window (time-based, not row-based) ------------------
+
+
+def events_value_ma_1h(sf_dir: str):
+    """Per event: the user's value sum over the trailing ONE HOUR
+    (``SUM OVER (PARTITION BY user ORDER BY ts RANGE BETWEEN INTERVAL 1
+    HOUR PRECEDING AND CURRENT ROW)``) — the RANGE window frame, whose
+    bounds are time offsets rather than row counts (and whose frame
+    includes ts-peers, unlike ROWS).
+
+    Same one-shuffle plan as the other per-user windows; within a bucket
+    the frame sums are cumulative-sum differences at binary-searched time
+    bounds (``cum[hi] − cum[lo]``), vectorized per user segment.
+    """
+    from ..functions.grouping import bucketed_group_apply
+
+    W_US = 3_600_000_000  # 1 hour in microseconds
+
+    def ma(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        c = cents(df["value"].to_numpy())
+        users = df["user_id"].to_numpy()
+        out = np.empty(len(df), dtype=np.int64)
+        # user segments are contiguous after the sort; per segment the
+        # frame is cum[hi] - cum[lo] with hi/lo from two vectorized
+        # searchsorteds (hi side='right' pulls in ts-peers, lo side='left'
+        # keeps the inclusive PRECEDING bound)
+        seg = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        for s, e in zip(seg, np.r_[seg[1:], len(df)]):
+            t = ts_us[s:e]
+            cum = np.r_[0, np.cumsum(c[s:e])]
+            lo = np.searchsorted(t, t - W_US, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            out[s:e] = cum[hi] - cum[lo]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ma_cents": out,
+            }
+        )
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    return bucketed_group_apply(ds, "user_id", ma)
+
+
+VALUE_MA_1H_SQL = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+    OVER (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS ma_cents
+FROM events
+"""

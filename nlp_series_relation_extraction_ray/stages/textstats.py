@@ -563,3 +563,59 @@ ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT {k}
 
 
 BOTTOMK_SAMPLE_SQL = bottomk_sample_sql()
+
+
+def langid_confusion(docs_ds):
+    """(lang, lang_pred, n): predicted-vs-labeled language confusion
+    matrix — the model-evaluation aggregate every labeling stage needs.
+
+    Pure map-side partials (the prediction is row-local, the partial is a
+    ≤ |langs|² count table per batch) and one coalesced final: at 10¹²
+    docs the shuffle carries #batches × ≤25 rows.
+    """
+    markers = {k: set(v) for k, v in LANG_MARKERS.items()}
+    priority = ("en", "de", "es", "fr")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch["text"].to_pylist()
+        preds = []
+        for t in texts:
+            words = t.split(" ")
+            row = {
+                lang: sum(1 for w in words if w in markers[lang])
+                for lang in ("en", "fr", "de", "es")
+            }
+            best = priority[0]
+            for lang in priority[1:]:
+                if row[lang] > row[best]:
+                    best = lang
+            preds.append(best if row[best] > 0 else "und")
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pylist(), "lang_pred": preds}
+        ).groupby(["lang", "lang_pred"], as_index=False).agg(
+            n=("lang_pred", "size")
+        )
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ..functions.grouping import coalesced_group_apply
+
+    def merge(df):
+        out = df.groupby(["lang", "lang_pred"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = docs_ds.select_columns(["doc_id", "text", "lang"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return coalesced_group_apply(partials, ["lang", "lang_pred"], merge)
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH p AS ({LANGID_SQL})
+SELECT d.lang, p.lang_pred, COUNT(*) AS n
+FROM documents d JOIN p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+"""

@@ -132,6 +132,8 @@ def _check(entry_mod, con, name):
         "region_nations_list",
         "docs_near_dup_check",
         "emb_ivf_recall_check",
+        "events_value_ma_1h",
+        "docs_langid_confusion",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

@@ -509,6 +509,8 @@ def semantic_dedup_keep(
                    if n_sub > 1 else np.zeros(len(g), dtype=np.int64))
             for s in range(n_sub):
                 cell = g[sub == s]
+                if len(cell) == 0:  # empty hash residue class
+                    continue
                 mat = _normalize(
                     np.stack(cell["embedding"].to_numpy()).astype(
                         np.float64)

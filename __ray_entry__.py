@@ -664,6 +664,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_langid_confusion": lambda sf: ts.langid_confusion(
                 _docs(sf)
             ),
+            # flagship prep chain v2: clean_corpus + decontaminate +
+            # PII redact + fixed-size chunking, one verified composition
+            "docs_training_corpus": _training_corpus,
         }
     )
     return q
@@ -675,6 +678,22 @@ def _clean_corpus_sql() -> str:
     )
 
     return clean_corpus_sql()
+
+
+def _training_corpus(sf_dir: str):
+    from nlp_series_relation_extraction_ray.pipelines.dataprep import (
+        training_corpus,
+    )
+
+    return training_corpus(sf_dir, clusters_ds=_dup_clusters(sf_dir))
+
+
+def _training_corpus_sql() -> str:
+    from nlp_series_relation_extraction_ray.pipelines.dataprep import (
+        training_corpus_sql,
+    )
+
+    return training_corpus_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -795,6 +814,7 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "emb_ivf_recall_check": sim.IVF_RECALL_CHECK_SQL,
         "events_value_ma_1h": rel.VALUE_MA_1H_SQL,
         "docs_langid_confusion": ts.LANGID_CONFUSION_SQL,
+        "docs_training_corpus": _training_corpus_sql(),
         "kg_edges_named": f"""WITH edges AS ({fsql.kg_edges_sql()}),
 nodes AS ({fsql.kg_nodes_sql()})
 SELECT e.src_id, ns.canonical_name AS src_name,

@@ -134,6 +134,7 @@ def _check(entry_mod, con, name):
         "emb_ivf_recall_check",
         "events_value_ma_1h",
         "docs_langid_confusion",
+        "docs_training_corpus",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

@@ -667,6 +667,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # flagship prep chain v2: clean_corpus + decontaminate +
             # PII redact + fixed-size chunking, one verified composition
             "docs_training_corpus": _training_corpus,
+            # hyperplane multi-table LSH ANN (second index family next to
+            # IVF; rows-only — see the regime note in its docstring, the
+            # planted-cluster pytest pins recall)
+            "emb_knn_lsh": lambda sf: sim.knn_lsh(_embs(sf)),
         }
     )
     return q

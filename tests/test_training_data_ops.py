@@ -856,3 +856,47 @@ def test_tfidf_hybrid_paths_identical(ray_session):
     pd.testing.assert_frame_equal(default, all_heavy)
     pd.testing.assert_frame_equal(default, all_light)
     pd.testing.assert_frame_equal(default, mixed)
+
+
+def test_knn_lsh_recall_on_clustered_vectors(ray_session):
+    """Multi-table hyperplane LSH must recover the exact top-k in its
+    design regime (angularly tight clusters, cos ~0.9); see the regime
+    note in knn_lsh's docstring for why the weakly-separated corpus
+    embeddings are IVF's job instead."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(10, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, ids = [], []
+    for i in range(600):
+        v = centers[i % 10] + 0.05 * rng.randn(64)
+        vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+        ids.append(i)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    bf = knn_bruteforce(ds, n_queries=5, k=10).to_pandas()
+    lsh = knn_lsh(ds, n_queries=5, k=10).to_pandas()
+    for q in range(5):
+        gt = set(bf.loc[bf["query_id"] == q, "neighbor_id"])
+        got = set(lsh.loc[lsh["query_id"] == q, "neighbor_id"])
+        assert len(gt & got) / len(gt) >= 0.8, q
+    # determinism
+    again = knn_lsh(ds, n_queries=5, k=10).to_pandas()
+    pd.testing.assert_frame_equal(
+        lsh.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )

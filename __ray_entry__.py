@@ -671,6 +671,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # IVF; rows-only — see the regime note in its docstring, the
             # planted-cluster pytest pins recall)
             "emb_knn_lsh": lambda sf: sim.knn_lsh(_embs(sf)),
+            # exact edit-distance fuzzy near-dup over distinct-text reps
+            "docs_edit_dist_pairs": lambda sf: dd.edit_dist_pairs(
+                _docs(sf)
+            ),
         }
     )
     return q
@@ -815,6 +819,7 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "events_user_type_pivot": rel.USER_TYPE_PIVOT_SQL,
         "region_nations_list": rel.REGION_NATIONS_SQL,
         "docs_near_dup_check": dd.NEAR_DUP_CHECK_SQL,
+        "docs_edit_dist_pairs": dd.EDIT_DIST_SQL,
         "emb_ivf_recall_check": sim.IVF_RECALL_CHECK_SQL,
         "events_value_ma_1h": rel.VALUE_MA_1H_SQL,
         "docs_langid_confusion": ts.LANGID_CONFUSION_SQL,

@@ -231,6 +231,9 @@ def bench_queries(sf_dir: str) -> dict:
         "emb_ivf_recall_check",
         "events_value_ma_1h",
         "docs_langid_confusion",
+        "docs_training_corpus",
+        "emb_knn_lsh",
+        "docs_edit_dist_pairs",
     ]
     qs = entry.queries()
     # the KG build cost is reported by bench_kg; pre-warm the shared edge

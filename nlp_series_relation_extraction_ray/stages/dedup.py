@@ -1195,3 +1195,186 @@ FROM p
 
 
 NEAR_DUP_CHECK_SQL = near_dup_check_sql()
+
+
+def banded_levenshtein(a: str, b: str, k: int) -> int:
+    """Edit distance, capped: returns ``k + 1`` as soon as the true
+    distance provably exceeds ``k`` (Ukkonen early exit — for unrelated
+    texts the row minimum crosses ``k`` within ~k rows, so the common
+    case costs O(k·|b|) instead of O(|a|·|b|)).  Vectorized row DP: the
+    insertion chain's left-to-right dependency resolves with one
+    ``minimum.accumulate`` pass (cur[j] = min over l≤j of cur[l]+(j−l))."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i, ca in enumerate(a, 1):
+        sub = prev[:-1] + (bn != ord(ca))
+        cur = np.empty(lb + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(prev[1:] + 1, sub)
+        chain = np.minimum.accumulate(cur - idx) + idx
+        cur = np.minimum(cur, chain)
+        if cur.min() > k:
+            return k + 1
+        prev = cur
+    return int(min(prev[-1], k + 1))
+
+
+def edit_dist_pairs(docs_ds, max_dist: int = 8, max_block: int = 32):
+    """(doc_a, doc_b, dist) — fuzzy-match near-dup via EXACT character
+    edit distance ≤ ``max_dist`` between distinct-text representatives,
+    compared within (lang, length-bucket) blocks.  The third dedup
+    similarity family next to set-overlap (Jaccard) and bit-fingerprint
+    (SimHash): edit distance catches small in-place edits that shift
+    every downstream shingle.
+
+    Scale shape, in order:
+    1. DISTINCT-REP REDUCE: one md5-keyed bucketed reduce collapses the
+       corpus to one representative (min doc_id) per distinct text —
+       exact duplicates (the bulk of a crawled corpus) never reach the
+       quadratic kernel.
+    2. The same blocking + replicated sub-block salting as
+       :func:`ngram_jaccard_pairs`: a counting pass sizes per-block salt
+       counts, every rep replicates to its cells, every in-block pair
+       meets in exactly one cell, and no reducer holds more than
+       ``2·max_block`` reps.
+    3. In-cell compare runs :func:`banded_levenshtein` (O(k·len) with
+       early exit), with the length-difference prefilter free from the
+       blocking key.
+
+    Oracle: DuckDB ``levenshtein()`` over the same reps/blocks
+    (``EDIT_DIST_SQL``) — value-exact.
+    """
+    import ray
+
+    from ..functions.grouping import bucketed_group_apply
+
+    def rep_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "lang", "n_chars", "text"]].copy()
+        out["md5"] = [md5_hex(t) for t in out["text"]]
+        return out.sort_values("doc_id").groupby(
+            "md5", as_index=False
+        ).first()
+
+    def rep_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values("doc_id").groupby(
+            "md5", as_index=False
+        ).first()
+        out["lb"] = (out["n_chars"] // 64).astype("int64")
+        return out[["doc_id", "lang", "lb", "text"]].astype(
+            {"doc_id": "int64"}
+        )
+
+    reps = bucketed_group_apply(
+        docs_ds.select_columns(
+            ["doc_id", "lang", "n_chars", "text"]
+        ).map_batches(rep_partial, batch_format="pandas"),
+        "md5",
+        rep_merge,
+    ).materialize()  # rep table = distinct-text cardinality, reused twice
+
+    counts = (
+        reps.map_batches(
+            lambda df: df.groupby(["lang", "lb"], as_index=False).agg(
+                cnt=("doc_id", "size")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["lang", "lb"], as_index=False)["cnt"].sum()
+    )
+    salts = {
+        (r.lang, int(r.lb)): -(-int(r.cnt) // max_block)
+        for r in counts.itertuples(index=False)
+    }
+    salts_ref = ray.put(salts)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.base import worker_cached
+
+        s_of = worker_cached(
+            ("editdist_salts", salts_ref.hex()),
+            lambda: ray.get(salts_ref),
+        )
+        out = {k: [] for k in
+               ("doc_id", "lang", "lb", "text", "salt", "ci", "cj")}
+        for r in df.itertuples(index=False):
+            s = s_of.get((r.lang, int(r.lb)), 1)
+            u = int(r.doc_id) % s
+            for v in range(s):
+                out["doc_id"].append(int(r.doc_id))
+                out["lang"].append(r.lang)
+                out["lb"].append(int(r.lb))
+                out["text"].append(r.text)
+                out["salt"].append(u)
+                out["ci"].append(min(u, v))
+                out["cj"].append(max(u, v))
+        return pd.DataFrame(out).astype(
+            {"doc_id": "int64", "lb": "int64", "salt": "int32",
+             "ci": "int32", "cj": "int32"}
+        )
+
+    cells = reps.map_batches(replicate, batch_format="pandas")
+
+    def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, dists = [], [], []
+
+        def compare(ids_a, txt_a, ids_b, txt_b, cross: bool):
+            for ii in range(len(ids_a)):
+                jr = range(len(ids_b)) if cross else range(ii + 1, len(ids_b))
+                for jj in jr:
+                    d = banded_levenshtein(txt_a[ii], txt_b[jj], max_dist)
+                    if d <= max_dist:
+                        a, b = int(ids_a[ii]), int(ids_b[jj])
+                        rows_a.append(min(a, b))
+                        rows_b.append(max(a, b))
+                        dists.append(d)
+
+        for (_, _, ci, cj), g in df.groupby(["lang", "lb", "ci", "cj"]):
+            if len(g) < 2:
+                continue
+            if ci == cj:
+                g = g.sort_values("doc_id")
+                compare(g["doc_id"].to_numpy(), g["text"].tolist(),
+                        g["doc_id"].to_numpy(), g["text"].tolist(),
+                        cross=False)
+            else:
+                ga = g[g["salt"] == ci]
+                gb = g[g["salt"] == cj]
+                compare(ga["doc_id"].to_numpy(), ga["text"].tolist(),
+                        gb["doc_id"].to_numpy(), gb["text"].tolist(),
+                        cross=True)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype="int64"),
+                "doc_b": pd.Series(rows_b, dtype="int64"),
+                "dist": pd.Series(dists, dtype="int64"),
+            }
+        )
+
+    return bucketed_group_apply(cells, ["lang", "lb", "ci", "cj"], cell_pairs)
+
+
+def edit_dist_sql(max_dist: int = 8) -> str:
+    return f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+rr AS (
+  SELECT r.doc_id, r.text, d.lang, d.n_chars // 64 AS lb
+  FROM reps r JOIN documents d ON d.doc_id = r.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM rr a JOIN rr b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {max_dist}
+"""
+
+
+EDIT_DIST_SQL = edit_dist_sql()

@@ -135,6 +135,7 @@ def _check(entry_mod, con, name):
         "events_value_ma_1h",
         "docs_langid_confusion",
         "docs_training_corpus",
+        "docs_edit_dist_pairs",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

@@ -675,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_edit_dist_pairs": lambda sf: dd.edit_dist_pairs(
                 _docs(sf)
             ),
+            # RANK() with ties (gap ranking; output size data-dependent)
+            "parts_price_rank": rel.parts_price_rank,
         }
     )
     return q
@@ -820,6 +822,7 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "region_nations_list": rel.REGION_NATIONS_SQL,
         "docs_near_dup_check": dd.NEAR_DUP_CHECK_SQL,
         "docs_edit_dist_pairs": dd.EDIT_DIST_SQL,
+        "parts_price_rank": rel.PRICE_RANK_SQL,
         "emb_ivf_recall_check": sim.IVF_RECALL_CHECK_SQL,
         "events_value_ma_1h": rel.VALUE_MA_1H_SQL,
         "docs_langid_confusion": ts.LANGID_CONFUSION_SQL,

@@ -2844,3 +2844,55 @@ SELECT event_id, user_id,
     AS BIGINT) AS ma_cents
 FROM events
 """
+
+
+# --- RANK() with ties (gap ranking, vs ROW_NUMBER's arbitrary tie-break) ---
+
+
+def parts_price_rank(sf_dir: str, k: int = 3):
+    """Per brand: every part whose price RANK is ≤ k — ``RANK()`` (ties
+    share a rank and create gaps), distinct from the ROW_NUMBER top-k of
+    ``docs_top2_per_lang``: a price tie at rank k returns ALL tied rows,
+    so group output size is data-dependent.
+
+    One brand-keyed bucketed reduce; within a bucket the rank is fully
+    vectorized: row_number by (brand, price desc, key) then the per-
+    (brand, price) MIN row_number — exactly RANK's definition.
+    """
+    from ..functions.grouping import bucketed_group_apply
+
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p_brand": df["p_brand"],
+                "p_partkey": df["p_partkey"].astype("int64"),
+                "price_cents": cents(df["p_retailprice"].to_numpy()),
+            }
+        ).sort_values(["p_brand", "price_cents", "p_partkey"],
+                      ascending=[True, False, True])
+        rn = out.groupby("p_brand").cumcount() + 1
+        out["rank"] = rn.groupby(
+            [out["p_brand"], out["price_cents"]]
+        ).transform("min").astype("int64")
+        return out[out["rank"] <= k].reset_index(drop=True)
+
+    return bucketed_group_apply(ds, "p_brand", rank_bucket)
+
+
+def parts_price_rank_sql(k: int = 3) -> str:
+    return f"""
+SELECT p_brand, p_partkey, price_cents, rank FROM (
+  SELECT p_brand, p_partkey,
+    CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+    RANK() OVER (PARTITION BY p_brand
+                 ORDER BY CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                 DESC) AS rank
+  FROM part
+) WHERE rank <= {k}
+"""
+
+
+PRICE_RANK_SQL = parts_price_rank_sql()

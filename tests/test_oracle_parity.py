@@ -136,6 +136,7 @@ def _check(entry_mod, con, name):
         "docs_langid_confusion",
         "docs_training_corpus",
         "docs_edit_dist_pairs",
+        "parts_price_rank",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

@@ -77,6 +77,21 @@ def tmp_sf(tmp_path_factory, ray_session):
         }
     )
     pq.write_table(customer, str(d / "customer.parquet"))
+    # part: planted price ties — two parts tie at the top (rank 1,1,3)
+    # and two tie exactly AT rank 3 (all tied rows must be returned)
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "p_name": pa.array([f"part{i}" for i in range(5)], pa.string()),
+            "p_brand": pa.array(["B1"] * 5, pa.string()),
+            "p_type": pa.array(["t"] * 5, pa.string()),
+            "p_size": pa.array([1] * 5, pa.int32()),
+            "p_retailprice": pa.array(
+                [9.99, 9.99, 5.00, 5.00, 1.00], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(part, str(d / "part.parquet"))
     # documents: token-boundary traps for AND retrieval ("window" inside
     # "windowing" must NOT match; start/end-of-text tokens must)
     documents = pa.table(
@@ -102,7 +117,8 @@ def tmp_sf(tmp_path_factory, ray_session):
 
 def _oracle(tmp_sf, sql):
     con = duckdb.connect()
-    for t in ("events", "lineitem", "orders", "customer", "documents"):
+    for t in ("events", "lineitem", "orders", "customer", "documents",
+              "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * "
             f"FROM read_parquet('{tmp_sf}/{t}.parquet')"
@@ -187,4 +203,28 @@ def test_pivot_closed_universe_zeros(tmp_sf):
         want[sorted(want.columns)].astype(
             {c: got[c].dtype for c in got.columns}
         ),
+    )
+
+
+def test_rank_with_ties_returns_all_tied_rows(tmp_sf):
+    from nlp_series_relation_extraction_ray.pipelines.relational import (
+        parts_price_rank,
+        parts_price_rank_sql,
+    )
+
+    got = (
+        parts_price_rank(tmp_sf, k=3)
+        .to_pandas()
+        .sort_values(["p_partkey"])
+        .reset_index(drop=True)
+    )
+    # RANK(): 9.99/9.99 -> rank 1,1; 5.00/5.00 -> rank 3,3 (gap skips 2);
+    # ALL four rows return for k=3 even though that is 4 rows
+    assert got["p_partkey"].tolist() == [1, 2, 3, 4]
+    assert got["rank"].tolist() == [1, 1, 3, 3]
+    want = _oracle(tmp_sf, parts_price_rank_sql(3)).sort_values(
+        ["p_partkey"]
+    ).reset_index(drop=True)[got.columns.tolist()]
+    pd.testing.assert_frame_equal(
+        got, want.astype({c: got[c].dtype for c in got.columns})
     )

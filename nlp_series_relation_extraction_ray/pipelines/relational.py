@@ -2719,6 +2719,11 @@ def events_user_type_pivot(sf_dir: str):
     cols = [f"n_{t}" for t in _EVENT_TYPES]
 
     def pivot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # degenerate empty block: stable empty schema
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ["user_id"] + cols}
+            )
         ct = pd.crosstab(df["user_id"], df["event_type"])
         for t in _EVENT_TYPES:  # closed universe: absent types are zero
             if t not in ct.columns:

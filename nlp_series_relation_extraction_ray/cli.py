@@ -39,7 +39,9 @@ def _load_input(spec: str):
         from .sources.transcripts import transcripts_dataset
 
         return transcripts_dataset(int(spec.split(":", 1)[1]))
-    return ray.data.read_parquet(spec)
+    from .sources.readers import read_parquet_clean
+
+    return read_parquet_clean(spec)
 
 
 def cmd_extract(args) -> None:

@@ -15,9 +15,27 @@ Two physical strategies, chosen by side size:
 
 from __future__ import annotations
 
+from ..sources.readers import table_from_pandas
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+def _pandas_dtypes(ds) -> dict[str, np.dtype]:
+    """Column -> numpy dtype map from a Dataset's schema (arrow or pandas
+    blocks; arrow types map through ``to_pandas_dtype``)."""
+    sch = ds.schema()
+    out: dict[str, np.dtype] = {}
+    for name, t in zip(sch.names, sch.types):
+        try:
+            out[name] = np.dtype(t.to_pandas_dtype())
+        except (AttributeError, TypeError):
+            try:
+                out[name] = np.dtype(t)
+            except TypeError:
+                out[name] = np.dtype("object")
+    return out
 
 
 def broadcast_join(
@@ -40,7 +58,7 @@ def broadcast_join(
         small = ray.get(small_ref)
         df = batch.to_pandas()
         out = df.merge(small, how=how, left_on=left_on, right_on=right_on)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     return large_ds.map_batches(probe, batch_format="pyarrow")
 
@@ -64,14 +82,47 @@ def shuffle_join(left_ds, right_ds, on, l_cols=None, r_cols=None):
     l_names = list(left_ds.schema().names)
     r_names = list(right_ds.schema().names)
 
-    # normalize both sides to the SAME column set before the union (missing
-    # columns become NaN): every downstream block then carries one schema,
-    # so the bucketed shuffle never sees schema-divergent blocks
+    # normalize both sides to the SAME column set AND dtypes before the
+    # union: reindex alone fills a side's missing columns with NaN
+    # (float64) while the owning side keeps int64/bool, so the two sides'
+    # blocks carry genuinely different schemas through the shuffle.  A
+    # common dtype map — promote a column missing on one side to its
+    # NaN-compatible dtype on BOTH sides — makes every union block
+    # schema-identical.  Join keys exist on both sides, so key dtypes are
+    # never promoted; non-key promotions (int→float64, exact below 2^53)
+    # match what the in-bucket pandas concat did implicitly anyway.
     all_names = list(dict.fromkeys(l_names + r_names))
+    l_types = _pandas_dtypes(left_ds)
+    r_types = _pandas_dtypes(right_ds)
+
+    def _null_ok(dt: np.dtype) -> np.dtype:
+        if dt.kind in "iu":
+            return np.dtype("float64")
+        if dt.kind == "b":
+            return np.dtype("object")
+        return dt
+
+    target: dict[str, np.dtype] = {}
+    for c in all_names:
+        if c in l_types and c in r_types:
+            lt, rt = l_types[c], r_types[c]
+            if lt == rt:
+                target[c] = lt
+            elif lt.kind in "iuf" and rt.kind in "iuf":
+                target[c] = np.promote_types(lt, rt)
+            else:
+                target[c] = np.dtype("object")
+        else:
+            target[c] = _null_ok(l_types.get(c) or r_types[c])
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.reindex(columns=all_names)
+            casts = {
+                c: t for c, t in target.items() if df[c].dtype != t
+            }
+            if casts:
+                df = df.astype(casts)
             df["__side"] = side
             return df
 

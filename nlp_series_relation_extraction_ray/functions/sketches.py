@@ -16,6 +16,10 @@ serializes cheaply through the object store inside arrow blocks.
 
 from __future__ import annotations
 
+from ..sources.readers import table_from_pandas
+
+from ..sources.readers import read_parquet_clean
+
 import hashlib
 from collections import Counter
 
@@ -184,7 +188,7 @@ def events_user_hll(sf_dir: str):
     import pyarrow as pa
     import ray
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 
@@ -236,7 +240,7 @@ def docs_top_tokens_mg(sf_dir: str, k: int = 20, counters: int = 256):
     import pyarrow as pa
     import ray
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
 
@@ -301,7 +305,7 @@ def docs_top_tokens_mg(sf_dir: str, k: int = 20, counters: int = 256):
         df = batch.to_pandas().sort_values(
             ["mg_count", "token"], ascending=[False, True]
         ).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     # the fold output is ONE summary row (≤ counters entries): explode and
     # rank it in-task — a Sort all-to-all over one tiny block buys nothing
@@ -359,7 +363,7 @@ def events_value_quantiles_hist(sf_dir: str, bins: int = HIST_BINS):
     import pyarrow as pa
     import ray
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
 
@@ -422,9 +426,25 @@ def events_value_quantiles_hist(sf_dir: str, bins: int = HIST_BINS):
             }
         )
 
-    # #types is tiny — the merge groupby moves #batches × #types summaries
-    return partials.groupby("event_type").map_groups(
-        merge, batch_format="pandas"
+    # #types is tiny — the merge input is #batches × #types summary rows,
+    # so one coalesced block groups them without a sort all-to-all (whose
+    # empty partitions would emit schema-less bundles)
+    def merge_all(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [merge(g) for _, g in df.groupby("event_type", sort=False)]
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "p50": pd.Series([], dtype="float64"),
+                    "p90": pd.Series([], dtype="float64"),
+                    "p99": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return partials.repartition(1).map_batches(
+        merge_all, batch_format="pandas", batch_size=None
     )
 
 
@@ -484,7 +504,7 @@ def docs_top_tokens_mg_check(sf_dir: str, counters: int = 256):
 
     from .grouping import bucketed_group_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
 
@@ -574,7 +594,7 @@ def events_value_quantiles_hist_check(sf_dir: str, bins: int = HIST_BINS):
     exact = events_type_quantiles(sf_dir).to_pandas()
 
     # per-type value range (same two-column pruned read as the sketch)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
 

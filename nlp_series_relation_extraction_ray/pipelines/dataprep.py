@@ -21,6 +21,8 @@ partitionable by ``split``).
 
 from __future__ import annotations
 
+from ..sources.readers import read_parquet_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -94,7 +96,7 @@ def clean_corpus(sf_dir: str, clusters_ds=None):
     """
     import ray
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet")
     if clusters_ds is None:
         clusters_ds = dup_clusters(docs, ngram_jaccard_pairs(docs))
 
@@ -180,7 +182,7 @@ def training_corpus(sf_dir: str, clusters_ds=None, chunk_tokens: int = 64):
         plant_pii,
     )
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet")
     kept = clean_corpus(sf_dir, clusters_ds)
     decon = decontaminate(docs)
 

@@ -10,6 +10,8 @@ sort / limit operators in their scale-correct shapes:
 
 from __future__ import annotations
 
+from ..sources.readers import table_from_pandas
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -18,9 +20,15 @@ from ..functions.joins import broadcast_join, cents, shuffle_join
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray
+    from ..sources.readers import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_clean(path, columns=None):
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns)
 
 
 # --- Q1: pricing summary (filter -> partial agg -> groupby merge) ---------
@@ -77,7 +85,7 @@ def q1_pricing_summary(sf_dir: str):
                  "sum_charge_cents", "count_order"]
             ].sum()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -193,7 +201,7 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         g = df.groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
         g["l_orderkey"] = g["l_orderkey"].astype("int64")
         g["is_order"] = np.int8(0)
-        return pa.Table.from_pandas(g, preserve_index=False).cast(
+        return table_from_pandas(g, preserve_index=False).cast(
             partial_schema
         )
 
@@ -293,17 +301,23 @@ def suppliers_per_region(sf_dir: str):
         region, left_on="n_regionkey", right_on="r_regionkey",
     ).select_columns(["r_name", "n_name", "s_suppkey"])
 
-    def count_group(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "r_name": [df["r_name"].iloc[0]],
-                "n_name": [df["n_name"].iloc[0]],
-                "n_suppliers": [len(df)],
-            }
+    # map-side partial count, then a single-block final merge: the shuffle
+    # carries #batches × #(region, nation) partial rows — never a supplier
+    # row — and a 25-group final needs no sort all-to-all
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["r_name", "n_name"], as_index=False).agg(
+            n_suppliers=("s_suppkey", "size")
         )
 
-    return with_region.groupby(["r_name", "n_name"]).map_groups(
-        count_group, batch_format="pandas"
+    def final_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["r_name", "n_name"], as_index=False)[
+            "n_suppliers"
+        ].sum()
+
+    return (
+        with_region.map_batches(partial_count, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_count, batch_format="pandas", batch_size=None)
     )
 
 
@@ -333,7 +347,7 @@ def events_user_stats(sf_dir: str):
             last_ts=("ts", "max"),
             types_list=("event_type", lambda s: "\x00".join(sorted(set(s)))),
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -388,7 +402,7 @@ def parts_brand_stats(sf_dir: str):
             sum_retail_cents=("retail_cents", "sum"),
             max_size=("p_size", "max"),
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -923,7 +937,7 @@ def events_window_counts(sf_dir: str):
             n_events=("value_cents", "size"),
             value_cents=("value_cents", "sum"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -1068,7 +1082,7 @@ def custs_no_urgent_order(sf_dir: str):
             n_orders=np.ones(len(df), dtype=np.int64),
             n_urgent=urgent.astype("int64"),
         ).groupby("o_custkey", as_index=False)[["n_orders", "n_urgent"]].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -1132,7 +1146,7 @@ def part_cheapest_supplier(sf_dir: str):
                 "min_price_cents": cents(df["l_extendedprice"].to_numpy()),
             }
         )
-        return pa.Table.from_pandas(best_of(df), preserve_index=False)
+        return table_from_pandas(best_of(df), preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -1192,7 +1206,7 @@ def events_hopping_counts(sf_dir: str):
         ).groupby(["event_type", "window_start"], as_index=False).agg(
             n_events=("window_start", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -1240,7 +1254,7 @@ def events_distinct_users(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
         df["user_id"] = df["user_id"].astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -1385,14 +1399,20 @@ def q5_local_supplier_revenue(
         ]
     )
 
-    def order_side(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        # arrow out, cast to the shared pair_schema: both union sides must
+        # emit the same block format AND schema or the union's bundle
+        # stream is schema-divergent
+        out = pd.DataFrame(
             {
                 "o_orderkey": df["o_orderkey"].astype("int64"),
                 "nationkey": df["c_nationkey"].astype("int64"),
                 "revenue_cents": np.int64(0),
                 "is_line": np.int8(0),
             }
+        )
+        return table_from_pandas(out, preserve_index=False).cast(
+            pair_schema
         )
 
     line = _read(
@@ -1421,7 +1441,7 @@ def q5_local_supplier_revenue(
                 "is_line": np.int8(1),
             }
         )
-        return pa.Table.from_pandas(out, preserve_index=False).cast(
+        return table_from_pandas(out, preserve_index=False).cast(
             pair_schema
         )
 
@@ -1512,7 +1532,7 @@ def events_type_quantiles(sf_dir: str):
             cnt=("value_cents", "size")
         )
         g["cnt"] = g["cnt"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -1698,7 +1718,7 @@ def docs_posting_lists(sf_dir: str, min_df: int = 20, max_df: int = 400):
 
     from ..functions.grouping import bucketed_group_apply
 
-    ds = ray.data.read_parquet(
+    ds = _read_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -1877,7 +1897,7 @@ def docs_lang_source_rollup(sf_dir: str):
 
     from ..functions.grouping import bucketed_group_apply
 
-    ds = ray.data.read_parquet(
+    ds = _read_clean(
         f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
     )
 
@@ -1903,7 +1923,7 @@ def docs_lang_source_rollup(sf_dir: str):
         ]
         out["n_docs"] = out["n_docs"].astype("int64")
         out["total_chars"] = out["total_chars"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(["lang", "source"], as_index=False)[
@@ -2058,7 +2078,7 @@ def docs_tfidf_terms(sf_dir: str, k: int = 3,
         df = batch.to_pandas()
         # Series.map(dict) is the C-path lookup; misses become -1
         df["df"] = df["token"].map(heavy).fillna(-1).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     def keep_attached(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch["df"], 0))
@@ -2221,7 +2241,7 @@ def docs_lang_source_cube(sf_dir: str):
 
     from ..functions.grouping import bucketed_group_apply
 
-    ds = ray.data.read_parquet(
+    ds = _read_clean(
         f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
     )
 
@@ -2251,7 +2271,7 @@ def docs_lang_source_cube(sf_dir: str):
         )[["lang", "source", "n_docs", "total_chars"]]
         out["n_docs"] = out["n_docs"].astype("int64")
         out["total_chars"] = out["total_chars"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(["lang", "source"], as_index=False)[
@@ -2582,7 +2602,7 @@ def docs_quality_filter(sf_dir: str, q_num: int = 1, q_den: int = 4):
             "n_distinct_words", as_index=False
         ).agg(cnt=("doc_id", "size"))
         df["cnt"] = df["cnt"].astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     hist = (
         stats.map_batches(val_counts, batch_format="pyarrow")
@@ -2713,17 +2733,15 @@ def events_user_type_pivot(sf_dir: str):
     (user, batch) — #types integer columns — and the merge is a plain sum
     per user; at 10¹² events the exchange scales with users, not events.
     """
-    from ..functions.grouping import bucketed_group_apply
+    from ..functions.grouping import bucketed_group_apply, empty_frame
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
     cols = [f"n_{t}" for t in _EVENT_TYPES]
+    out_spec = {c: "int64" for c in ["user_id"] + cols}
 
     def pivot_partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:  # degenerate empty block: stable empty schema
-            return pd.DataFrame(
-                {c: pd.Series([], dtype="int64")
-                 for c in ["user_id"] + cols}
-            )
+            return empty_frame(out_spec)
         ct = pd.crosstab(df["user_id"], df["event_type"])
         for t in _EVENT_TYPES:  # closed universe: absent types are zero
             if t not in ct.columns:
@@ -2738,7 +2756,7 @@ def events_user_type_pivot(sf_dir: str):
 
     return bucketed_group_apply(
         ds.map_batches(pivot_partial, batch_format="pandas"),
-        "user_id", merge,
+        "user_id", merge, empty_result=out_spec,
     )
 
 

@@ -11,6 +11,8 @@ the pipelines); this module adds the reference-compatible artifacts:
 
 from __future__ import annotations
 
+from .readers import table_from_pandas
+
 import json
 
 import pyarrow as pa
@@ -71,7 +73,7 @@ def write_prediction_jsonl(triples_ds, path: str) -> int:
 
     def per_turn(df) -> "pa.Table":
         return triples_to_duie_rows(
-            pa.Table.from_pandas(df, preserve_index=False)
+            table_from_pandas(df, preserve_index=False)
         )
 
     rows = (

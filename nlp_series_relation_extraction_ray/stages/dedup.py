@@ -11,6 +11,8 @@ finds vector-level duplicates via blocked matmul against a broadcast matrix.
 
 from __future__ import annotations
 
+from ..sources.readers import table_from_pandas
+
 import hashlib
 import logging
 
@@ -36,7 +38,7 @@ def exact_dedup(docs_ds):
         g = df.groupby("text_md5", as_index=False).agg(
             keep_doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized over every md5 in the bucket (corpus-cardinality key)
@@ -275,7 +277,7 @@ def near_dup_pairs_driver_debug(
     def collect_texts(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df[df["doc_id"].isin(needed)][["doc_id", "text"]]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     texts = docs_ds.map_batches(collect_texts, batch_format="pyarrow").to_pandas()
     text_by_id = dict(zip(texts["doc_id"], texts["text"]))
@@ -299,6 +301,51 @@ def near_dup_pairs_driver_debug(
 
 
 # ---- exact n-gram Jaccard (SQL-verifiable dedup kernel) ------------------
+
+
+def _salted_cells(ds, salts_ref, cache_key: str):
+    """Vectorized sub-block salting replicator shared by the exact-kernel
+    pair operators (n-gram Jaccard, edit distance): every row whose block
+    ``(lang, lb)`` has salt count ``s`` replicates to the ``s`` cells
+    ``(min(u, v), max(u, v))`` for ``v`` in ``0..s-1``, ``u = doc_id % s``.
+
+    ``index.repeat``-based — no per-row Python loop: the rep table is
+    corpus-order cardinality on a crawl corpus, so the replication map
+    stage must stay a C-path kernel.  Extra input columns (e.g. the
+    edit-distance ``home`` flag) pass through untouched.
+    """
+    import ray
+
+    from ..stages.base import worker_cached
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        lut = worker_cached(
+            (cache_key, salts_ref.hex()),
+            lambda: pd.Series(ray.get(salts_ref), dtype="int64"),
+        )
+        out = df.reset_index(drop=True)
+        if len(out):
+            key = pd.MultiIndex.from_arrays([out["lang"], out["lb"]])
+            s_arr = (
+                lut.reindex(key).fillna(1).to_numpy(dtype=np.int64)
+            )
+            rep = np.repeat(np.arange(len(out), dtype=np.int64), s_arr)
+            out = out.iloc[rep].reset_index(drop=True)
+            s_rep = np.repeat(s_arr, s_arr)
+            u = out["doc_id"].to_numpy() % s_rep
+            starts = np.cumsum(s_arr) - s_arr
+            v = np.arange(len(out), dtype=np.int64) - np.repeat(
+                starts, s_arr
+            )
+            out["salt"] = u.astype("int32")
+            out["ci"] = np.minimum(u, v).astype("int32")
+            out["cj"] = np.maximum(u, v).astype("int32")
+        else:
+            for c in ("salt", "ci", "cj"):
+                out[c] = pd.Series([], dtype="int32")
+        return out
+
+    return ds.map_batches(replicate, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(docs_ds, n: int = 3, min_pct: int = 30,
@@ -361,31 +408,7 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, min_pct: int = 30,
     }
     salts_ref = ray.put(salts)
 
-    def replicate(df: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.base import worker_cached
-
-        s_of = worker_cached(
-            ("ngram_salts", salts_ref.hex()), lambda: ray.get(salts_ref)
-        )
-        out = {k: [] for k in
-               ("doc_id", "lang", "lb", "text", "salt", "ci", "cj")}
-        for r in df.itertuples(index=False):
-            s = s_of.get((r.lang, int(r.lb)), 1)
-            u = int(r.doc_id) % s
-            for v in range(s):
-                out["doc_id"].append(int(r.doc_id))
-                out["lang"].append(r.lang)
-                out["lb"].append(int(r.lb))
-                out["text"].append(r.text)
-                out["salt"].append(u)
-                out["ci"].append(min(u, v))
-                out["cj"].append(max(u, v))
-        return pd.DataFrame(out).astype(
-            {"doc_id": "int64", "lb": "int64", "salt": "int32",
-             "ci": "int32", "cj": "int32"}
-        )
-
-    cells = blocked.map_batches(replicate, batch_format="pandas")
+    cells = _salted_cells(blocked, salts_ref, "ngram_salts")
 
     def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
         rows_a, rows_b, pcts = [], [], []
@@ -650,23 +673,27 @@ def embedding_dup_pairs(
         top2 = np.argsort(-(vecs @ cents_.T), axis=1)[:, :2]
         out_id, out_bucket, out_vec = [], [], []
         for r in range(len(ids)):
+            # float64 bytes, not a list column: the vector rides the
+            # pandas shuffle as a plain binary value (hashable schema)
+            blob = vecs[r].tobytes()
             for b in {int(x) for x in top2[r]}:
                 out_id.append(int(ids[r]))
                 out_bucket.append(b)
-                out_vec.append(vecs[r].tolist())
+                out_vec.append(blob)
         return pa.Table.from_pydict(
             {
                 "vec_id": pa.array(out_id, pa.int64()),
                 "bucket": pa.array(out_bucket, pa.int32()),
-                "embedding": pa.array(out_vec, pa.list_(pa.float64())),
+                "emb_f64": pa.array(out_vec, pa.binary()),
             }
         )
 
     bucketed = emb_ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(df["embedding"].to_numpy())
-        ids = df["vec_id"].to_numpy()
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.frombuffer(b, dtype=np.float64)
+                        for b in g["emb_f64"]])
+        ids = g["vec_id"].to_numpy()
         sims = mat @ mat.T
         ii, jj = np.where(sims >= threshold)
         keep = ii < jj
@@ -676,8 +703,14 @@ def embedding_dup_pairs(
         hi = np.maximum(a, b).astype("int64")
         return pd.DataFrame({"vec_a": lo, "vec_b": hi}).drop_duplicates()
 
-    pairs = bucketed.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas"
+    def buckets_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g) for _, g in df.groupby("bucket",
+                                                       sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = bucketed_group_apply(
+        bucketed, "bucket", buckets_pairs,
+        empty_result={"vec_a": "int64", "vec_b": "int64"},
     )
     # cross-probe pair de-dup: a pair whose vectors share both top-2
     # centroids appears in two buckets
@@ -1228,7 +1261,9 @@ def banded_levenshtein(a: str, b: str, k: int) -> int:
 def edit_dist_pairs(docs_ds, max_dist: int = 8, max_block: int = 32):
     """(doc_a, doc_b, dist) — fuzzy-match near-dup via EXACT character
     edit distance ≤ ``max_dist`` between distinct-text representatives,
-    compared within (lang, length-bucket) blocks.  The third dedup
+    compared within (lang, length-bucket) blocks — with adjacent-bucket
+    spill, so pairs straddling a bucket boundary are found too (a
+    dist ≤ k pair has |len diff| ≤ k).  The third dedup
     similarity family next to set-overlap (Jaccard) and bit-fingerprint
     (SimHash): edit distance catches small in-place edits that shift
     every downstream shingle.
@@ -1266,8 +1301,8 @@ def edit_dist_pairs(docs_ds, max_dist: int = 8, max_block: int = 32):
             "md5", as_index=False
         ).first()
         out["lb"] = (out["n_chars"] // 64).astype("int64")
-        return out[["doc_id", "lang", "lb", "text"]].astype(
-            {"doc_id": "int64"}
+        return out[["doc_id", "lang", "lb", "n_chars", "text"]].astype(
+            {"doc_id": "int64", "n_chars": "int64"}
         )
 
     reps = bucketed_group_apply(
@@ -1276,10 +1311,30 @@ def edit_dist_pairs(docs_ds, max_dist: int = 8, max_block: int = 32):
         ).map_batches(rep_partial, batch_format="pandas"),
         "md5",
         rep_merge,
-    ).materialize()  # rep table = distinct-text cardinality, reused twice
+    )
+
+    # BOUNDARY SPILL: a near-dup pair at dist ≤ max_dist has
+    # |len diff| ≤ max_dist, so a cross-bucket pair forces the higher
+    # text's ``n_chars % 64 < max_dist`` — replicating exactly those reps
+    # to the adjacent LOWER bucket (as non-home "visitors") makes every
+    # boundary-straddling pair meet once, in the lower bucket.  Visitor ×
+    # visitor pairs are skipped (they meet natively in their own bucket),
+    # so no pair is emitted twice.  Cost: ≤ max_dist/64 of reps get one
+    # extra blocking row.
+    def block_rows(df: pd.DataFrame) -> pd.DataFrame:
+        native = df.assign(home=True)
+        spill = df[(df["n_chars"] % 64 < max_dist) & (df["lb"] > 0)].copy()
+        spill["lb"] = spill["lb"] - 1
+        spill["home"] = False
+        out = pd.concat([native, spill], ignore_index=True)
+        return out[["doc_id", "lang", "lb", "home", "text"]]
+
+    blocked = reps.map_batches(
+        block_rows, batch_format="pandas"
+    ).materialize()  # blocked rep table ~ distinct-text size, reused twice
 
     counts = (
-        reps.map_batches(
+        blocked.map_batches(
             lambda df: df.groupby(["lang", "lb"], as_index=False).agg(
                 cnt=("doc_id", "size")
             ),
@@ -1294,40 +1349,20 @@ def edit_dist_pairs(docs_ds, max_dist: int = 8, max_block: int = 32):
     }
     salts_ref = ray.put(salts)
 
-    def replicate(df: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.base import worker_cached
-
-        s_of = worker_cached(
-            ("editdist_salts", salts_ref.hex()),
-            lambda: ray.get(salts_ref),
-        )
-        out = {k: [] for k in
-               ("doc_id", "lang", "lb", "text", "salt", "ci", "cj")}
-        for r in df.itertuples(index=False):
-            s = s_of.get((r.lang, int(r.lb)), 1)
-            u = int(r.doc_id) % s
-            for v in range(s):
-                out["doc_id"].append(int(r.doc_id))
-                out["lang"].append(r.lang)
-                out["lb"].append(int(r.lb))
-                out["text"].append(r.text)
-                out["salt"].append(u)
-                out["ci"].append(min(u, v))
-                out["cj"].append(max(u, v))
-        return pd.DataFrame(out).astype(
-            {"doc_id": "int64", "lb": "int64", "salt": "int32",
-             "ci": "int32", "cj": "int32"}
-        )
-
-    cells = reps.map_batches(replicate, batch_format="pandas")
+    cells = _salted_cells(blocked, salts_ref, "editdist_salts")
 
     def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
         rows_a, rows_b, dists = [], [], []
 
-        def compare(ids_a, txt_a, ids_b, txt_b, cross: bool):
+        def compare(ids_a, txt_a, home_a, ids_b, txt_b, home_b,
+                    cross: bool):
             for ii in range(len(ids_a)):
                 jr = range(len(ids_b)) if cross else range(ii + 1, len(ids_b))
                 for jj in jr:
+                    if not (home_a[ii] or home_b[jj]):
+                        # visitor × visitor: this pair meets natively in
+                        # its own (higher) bucket — skip to avoid dupes
+                        continue
                     d = banded_levenshtein(txt_a[ii], txt_b[jj], max_dist)
                     if d <= max_dist:
                         a, b = int(ids_a[ii]), int(ids_b[jj])
@@ -1341,13 +1376,17 @@ def edit_dist_pairs(docs_ds, max_dist: int = 8, max_block: int = 32):
             if ci == cj:
                 g = g.sort_values("doc_id")
                 compare(g["doc_id"].to_numpy(), g["text"].tolist(),
+                        g["home"].to_numpy(),
                         g["doc_id"].to_numpy(), g["text"].tolist(),
+                        g["home"].to_numpy(),
                         cross=False)
             else:
                 ga = g[g["salt"] == ci]
                 gb = g[g["salt"] == cj]
                 compare(ga["doc_id"].to_numpy(), ga["text"].tolist(),
+                        ga["home"].to_numpy(),
                         gb["doc_id"].to_numpy(), gb["text"].tolist(),
+                        gb["home"].to_numpy(),
                         cross=True)
         return pd.DataFrame(
             {
@@ -1357,22 +1396,34 @@ def edit_dist_pairs(docs_ds, max_dist: int = 8, max_block: int = 32):
             }
         )
 
-    return bucketed_group_apply(cells, ["lang", "lb", "ci", "cj"], cell_pairs)
+    return bucketed_group_apply(
+        cells, ["lang", "lb", "ci", "cj"], cell_pairs,
+        empty_result={"doc_a": "int64", "doc_b": "int64", "dist": "int64"},
+    )
 
 
 def edit_dist_sql(max_dist: int = 8) -> str:
+    # mirrors the Ray blocking exactly, INCLUDING the adjacent-bucket
+    # spill: same-bucket pairs, plus cross-bucket pairs where the
+    # higher-bucket text sits within max_dist of the bucket floor
+    # (n_chars % 64 < max_dist) — the only way a dist ≤ max_dist pair can
+    # straddle a boundary, since |len diff| ≤ edit distance
     return f"""
 WITH reps AS (
   SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
 ),
 rr AS (
-  SELECT r.doc_id, r.text, d.lang, d.n_chars // 64 AS lb
+  SELECT r.doc_id, r.text, d.lang, d.n_chars // 64 AS lb,
+         d.n_chars % 64 AS lr
   FROM reps r JOIN documents d ON d.doc_id = r.doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
 FROM rr a JOIN rr b
-  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND (a.lb = b.lb
+      OR (b.lb = a.lb + 1 AND b.lr < {max_dist})
+      OR (a.lb = b.lb + 1 AND a.lr < {max_dist}))
 WHERE levenshtein(a.text, b.text) <= {max_dist}
 """
 

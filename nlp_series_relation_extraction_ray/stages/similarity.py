@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+from ..sources.readers import table_from_pandas
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -30,12 +32,13 @@ def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 def load_queries(emb_ds, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """Query set = the vectors with vec_id < n_queries (deterministic)."""
+    import pyarrow.compute as pc
 
     def pick(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            df[df["vec_id"] < n_queries], preserve_index=False
-        )
+        # Arrow-native filter: a pandas round-trip would re-infer the
+        # embedding column's type, degrading list<float> to null on empty
+        # matches (schema-divergent blocks)
+        return batch.filter(pc.less(batch["vec_id"], n_queries))
 
     df = emb_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
     df = df.sort_values("vec_id")
@@ -73,6 +76,38 @@ def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
             "neighbor_id": df["neighbor_id"].astype("int64"),
             "rank": np.arange(1, len(df) + 1, dtype=np.int64),
         }
+    )
+
+
+def _merge_topk_final(partials, k: int):
+    """Final per-query top-k over the per-batch partials.
+
+    The partials are already a per-batch combine (≤ #blocks × Q × k rows,
+    Q bounded by the broadcast in-memory query matrix), so the merge input
+    is intrinsically small: coalescing to ONE block and grouping in pandas
+    is strictly cheaper than a sort all-to-all — and avoids the empty sort
+    partitions a 5-key ``groupby`` produces, which bypass the UDF and
+    surface as schema-less bundles (Ray's ``RefBundle with a different
+    schema`` warnings).  For a corpus-scale Q, insert a bucketed per-query
+    pre-merge (``bucketed_group_apply`` on ``query_id``) before this."""
+
+    def merge_all(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        outs = [
+            _merge_topk(g, k)
+            for _, g in df.groupby("query_id", sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return partials.repartition(1).map_batches(
+        merge_all, batch_format="pandas", batch_size=None
     )
 
 
@@ -117,9 +152,7 @@ def knn_bruteforce(emb_ds, n_queries: int = 5, k: int = 10, queries=None):
 
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
 
-    return partials.groupby("query_id").map_groups(
-        lambda df: _merge_topk(df, k), batch_format="pandas"
-    )
+    return _merge_topk_final(partials, k)
 
 
 def knn_sql(n_queries: int = 5, k: int = 10) -> str:
@@ -257,9 +290,7 @@ def knn_ivf(
         _probe_topk_stage(qref, k), batch_format="pyarrow"
     )
 
-    return partials.groupby("query_id").map_groups(
-        lambda df: _merge_topk(df, k), batch_format="pandas"
-    )
+    return _merge_topk_final(partials, k)
 
 
 # ---- IVF with the bucket as a PHYSICAL Parquet partition key -------------
@@ -351,16 +382,16 @@ def knn_ivf_partitioned(
     probes = _probe_sets(q_mat, centroids, n_probe)
     union: set[int] = set().union(*probes) if probes else set()
     files = probed_index_files(index_dir, union)
-    pruned = ray.data.read_parquet(
+    from ..sources.readers import read_parquet_clean
+
+    pruned = read_parquet_clean(
         files, columns=["vec_id", "embedding", "bucket"]
     )
     qref = ray.put((q_mat, q_ids, probes))
     partials = pruned.map_batches(
         _probe_topk_stage(qref, k), batch_format="pyarrow"
     )
-    return partials.groupby("query_id").map_groups(
-        lambda df: _merge_topk(df, k), batch_format="pandas"
-    )
+    return _merge_topk_final(partials, k)
 
 
 def kmeans_cluster_stats(emb_ds, n_clusters: int = 16,
@@ -401,7 +432,7 @@ def kmeans_cluster_stats(emb_ds, n_clusters: int = 16,
         ).groupby("cluster", as_index=False).agg(
             n_vecs=("sim_milli", "size"), sum_sim_milli=("sim_milli", "sum")
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     partials = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
         partial, batch_format="pyarrow"
@@ -413,7 +444,12 @@ def kmeans_cluster_stats(emb_ds, n_clusters: int = 16,
         ].sum()
         return out.astype("int64")
 
-    return bucketed_group_apply(partials, "cluster", merge)
+    # dense: #distinct clusters is a small parameter (see semantic dedup)
+    return bucketed_group_apply(
+        partials, "cluster", merge, dense=True,
+        empty_result={"cluster": "int64", "n_vecs": "int64",
+                      "sum_sim_milli": "int64"},
+    )
 
 
 def uniform_embedding_sample(emb_ds, n: int) -> np.ndarray:
@@ -425,22 +461,30 @@ def uniform_embedding_sample(emb_ds, n: int) -> np.ndarray:
     import hashlib
 
     def sample_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()[["vec_id", "embedding"]]
-        df["h"] = [
-            hashlib.md5(str(v).encode()).hexdigest() for v in df["vec_id"]
-        ]
-        return pa.Table.from_pandas(
-            df.sort_values("h").head(n), preserve_index=False
+        # stays Arrow end-to-end: a pandas round-trip would carry the
+        # embedding column as an ndarray object dtype whose block schemas
+        # Ray cannot hash/unify cleanly through the repartition
+        h = np.array(
+            [
+                hashlib.md5(str(v).encode()).hexdigest()
+                for v in batch["vec_id"].to_pylist()
+            ]
         )
+        order = np.argsort(h, kind="stable")[:n]
+        return batch.select(["vec_id", "embedding"]).append_column(
+            "h", pa.array(h, pa.string())
+        ).take(order)
 
-    def sample_final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("h").head(n).drop(columns="h")
+    def sample_final(batch: pa.Table) -> pa.Table:
+        h = np.array(batch["h"].to_pylist())
+        order = np.argsort(h, kind="stable")[:n]
+        return batch.take(order).drop(["h"])
 
     sample = (
         emb_ds.select_columns(["vec_id", "embedding"])
         .map_batches(sample_partial, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(sample_final, batch_format="pandas", batch_size=None)
+        .map_batches(sample_final, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
     return _normalize(
@@ -486,11 +530,15 @@ def semantic_dedup_keep(
         vecs, ids = _batch_matrix(batch)
         vecs = _normalize(vecs)
         cl = np.argmax(vecs @ cents.T, axis=1).astype(np.int64)
+        # ship the vector through the shuffle as plain float32 bytes: a
+        # pandas block with an ndarray object column has a schema Ray
+        # cannot hash/unify ("Failed to hash the schemas" in the reduce)
+        emb_bytes = [v.astype(np.float32).tobytes() for v in vecs]
         return pa.Table.from_pydict(
             {
                 "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
                 "cluster": pa.array(cl, pa.int64()),
-                "embedding": batch["embedding"],
+                "emb_f32": pa.array(emb_bytes, pa.binary()),
             }
         )
 
@@ -512,8 +560,12 @@ def semantic_dedup_keep(
                 if len(cell) == 0:  # empty hash residue class
                     continue
                 mat = _normalize(
-                    np.stack(cell["embedding"].to_numpy()).astype(
-                        np.float64)
+                    np.stack(
+                        [
+                            np.frombuffer(b, dtype=np.float32)
+                            for b in cell["emb_f32"]
+                        ]
+                    ).astype(np.float64)
                 )
                 sims = mat @ mat.T
                 keep = np.ones(len(cell), dtype=bool)
@@ -538,7 +590,14 @@ def semantic_dedup_keep(
             }
         )
 
-    return bucketed_group_apply(assigned, "cluster", dedup_cells)
+    # dense buckets: cluster cardinality is a small parameter (n_clusters),
+    # so without sentinels Ray's sort shuffle makes empty partitions that
+    # surface as schema-less bundles
+    return bucketed_group_apply(
+        assigned, "cluster", dedup_cells, dense=True,
+        empty_result={"vec_id": "int64", "cluster": "int64",
+                      "keep": "bool"},
+    )
 
 
 def ivf_recall_check(emb_ds, n_queries: int = 5, k: int = 10,
@@ -662,9 +721,7 @@ def knn_lsh(emb_ds, n_queries: int = 5, k: int = 10, n_planes: int = 6,
         )
 
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(
-        lambda df: _merge_topk(df, k), batch_format="pandas"
-    )
+    return _merge_topk_final(partials, k)
 
 
 

@@ -5,6 +5,8 @@ derivable downstream from the integer components)."""
 
 from __future__ import annotations
 
+from ..sources.readers import table_from_pandas
+
 import hashlib
 import re
 
@@ -495,7 +497,7 @@ def stratified_sample(docs_ds, rates: dict[str, int] | None = None):
         bucket = ((ids * _SAMPLE_MULT) % _SPLIT_MOD) % 100
         rate = df["lang"].map(lambda lg: rates.get(lg, 100)).to_numpy()
         keep = df[bucket < rate][["doc_id", "lang", "n_chars"]]
-        return pa.Table.from_pandas(keep, preserve_index=False)
+        return table_from_pandas(keep, preserve_index=False)
 
     return docs_ds.select_columns(["doc_id", "lang", "n_chars"]).map_batches(
         fn, batch_format="pyarrow"
@@ -535,7 +537,7 @@ def bottomk_sample(docs_ds, k: int = 50):
         df["h"] = [
             hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]
         ]
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             df.sort_values("h").head(k), preserve_index=False
         )
 
@@ -598,7 +600,7 @@ def langid_confusion(docs_ds):
             n=("lang_pred", "size")
         )
         df["n"] = df["n"].astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     from ..functions.grouping import coalesced_group_apply
 

@@ -21,6 +21,8 @@ whole-job (the reference restarts the entire run on any crash, SURVEY §4).
 
 from __future__ import annotations
 
+from ..sources.readers import read_parquet_clean
+
 import glob
 import hashlib
 import json
@@ -102,7 +104,7 @@ def run_partitioned(
         ds.write_parquet(data_dir)
         import ray
 
-        rows_out = ray.data.read_parquet(data_dir).count()
+        rows_out = read_parquet_clean(data_dir).count()
         wall = time.time() - t0
         os.makedirs(part_dir, exist_ok=True)
         manifest = {
@@ -149,7 +151,7 @@ def read_all_partitions(out_dir: str):
             continue
         if manifest.get("status") == "complete":
             files.extend(sorted(glob.glob(os.path.join(d, "data", "*.parquet"))))
-    return ray.data.read_parquet(files)
+    return read_parquet_clean(files)
 
 
 def run_partitioned_extraction(

@@ -231,6 +231,14 @@ def _kg_components(sf_dir: str):
     return kg_components(_kg_edges_checkpoint(sf_dir))
 
 
+def _kg_pagerank_check(sf_dir: str):
+    from nlp_series_relation_extraction_ray.pipelines.kg import (
+        kg_pagerank_check,
+    )
+
+    return kg_pagerank_check(_kg_edges_checkpoint(sf_dir))
+
+
 def _dup_clusters(sf_dir: str):
     from nlp_series_relation_extraction_ray.stages import dedup as dd
 
@@ -329,6 +337,67 @@ def _eval_pr(sf_dir: str):
         rows.append({"head": head, **{k: m[k] for k in
                                       ("tp", "fp", "fn", "precision",
                                        "recall", "f1")}})
+    return pd.DataFrame(rows)
+
+
+# (head, extract_fn_name, train_fn_name) for the LEARNED quality gate;
+# thresholds are per-head floors the full deterministic training recipes
+# clear with margin (measured at sf0.01: see BASELINE.md round 5)
+TRAINED_EVAL_SPECS = (
+    ("baseline-trained", "extract_triples_trained", "train_baseline_scorer"),
+    ("mpn-trained", "extract_triples_trained_mpn", "train_mpn_scorer"),
+    ("mhs-trained", "extract_triples_trained_mhs", "train_mhs_scorer"),
+    ("biaffine-trained", "extract_triples_trained_biaffine",
+     "train_biaffine_scorer"),
+)
+TRAINED_PR_FLOOR = 0.95
+
+
+def _trained_weights_ref(train_fn_name: str):
+    """Train once per process (full deterministic recipe, fixture corpus —
+    independent of sf_dir) and broadcast via ``ray.put``."""
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages import trained_scorer as tsc
+
+    key = ("trained_weights", train_fn_name)
+    if key not in _SHARED_CACHE:
+        _SHARED_CACHE[key] = ray.put(getattr(tsc, train_fn_name)())
+    return _SHARED_CACHE[key]
+
+
+def _eval_pr_trained(sf_dir: str):
+    """The BASELINE.md P/R ≥ 0.95 quality gate for the LEARNED path, as a
+    boolean-verdict table: (head, pr_ge_95, rc_ge_95) for all four trained
+    heads, same DuIE exact-match comparator as ``eval_extraction_pr``.  The
+    oracle emits the head list + literal TRUE, so a hash-exact driver match
+    IS the quality gate (the full training recipes are deterministic and
+    measure F1 0.98–1.0, making the booleans stable)."""
+    import pandas as pd
+
+    from nlp_series_relation_extraction_ray.functions.evaluation import (
+        evaluate_triples,
+    )
+    from nlp_series_relation_extraction_ray.pipelines.extract import (
+        _synthetic_gold,
+    )
+    from nlp_series_relation_extraction_ray.sources.transcripts import (
+        total_gold as total_gold_fn,
+    )
+    from nlp_series_relation_extraction_ray.stages import trained_scorer as tsc
+
+    n = _n_convs(sf_dir)
+    total_gold = total_gold_fn(n)
+    rows = []
+    for head, extract_fn_name, train_fn_name in TRAINED_EVAL_SPECS:
+        wref = _trained_weights_ref(train_fn_name)
+        triples = getattr(tsc, extract_fn_name)(_transcripts(sf_dir), wref)
+        m = evaluate_triples(triples, _synthetic_gold, total_gold)
+        rows.append({
+            "head": head,
+            "pr_ge_95": bool(m["precision"] >= TRAINED_PR_FLOOR),
+            "rc_ge_95": bool(m["recall"] >= TRAINED_PR_FLOOR),
+        })
     return pd.DataFrame(rows)
 
 
@@ -465,6 +534,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only; fixed-point pinned vs a dense reference in pytest)
         "kg_triangles": _kg_triangles,
         "kg_pagerank": _kg_pagerank,
+        # boolean-verdict fixed-point gate for pagerank (per-node
+        # |shuffle-plan − dense-reference| ≤ 1e-9 + Σrank≈1 as literal
+        # booleans; oracle = node universe + literal TRUE → driver-checkable)
+        "kg_pagerank_check": _kg_pagerank_check,
         # weakly-connected components of the entity graph (SQL-exact vs a
         # recursive-CTE transitive closure, like docs_dup_clusters)
         "kg_components": _kg_components,
@@ -597,6 +670,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "multimodal_video_frames": _media_video,
             # the DuIE-style eval gate itself, as a queryable result
             "eval_extraction_pr": _eval_pr,
+            # ...and the LEARNED-path quality gate (trained heads vs gold,
+            # same comparator) as a boolean-verdict table
+            "eval_extraction_pr_trained": _eval_pr_trained,
         }
     )
 
@@ -677,6 +753,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             # RANK() with ties (gap ranking; output size data-dependent)
             "parts_price_rank": rel.parts_price_rank,
+        }
+    )
+
+    q.update(
+        {
+            # round 5: exact variance/stddev via integer moments reduce
+            "events_type_stats_var": rel.events_type_stats_var,
+            # EXCEPT / INTERSECT set operators (shared per-user flag kernel)
+            "events_hivalue_except_users": rel.events_hivalue_except_users,
+            "events_hivalue_intersect_users":
+                rel.events_hivalue_intersect_users,
+            # broadcast RANGE join (interval dim table, searchsorted probe)
+            "lineitem_discount_bands": rel.lineitem_discount_bands,
+            # NTILE window function (exact tile-size rule, total order key)
+            "events_user_ntile": rel.events_user_ntile,
+            # URL/domain extraction + per-domain rollup (crawl accounting)
+            "docs_url_domains": lambda sf: ts.url_domain_stats(
+                ts.plant_urls(_docs(sf))
+            ),
         }
     )
     return q
@@ -761,6 +856,12 @@ r(u, v) AS (
   SELECT e.u, r.v FROM e JOIN r ON e.v = r.u
 )
 SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
+        # pagerank fixed-point gate: oracle = edge-endpoint node universe +
+        # literal TRUE verdicts (hash-exact match IS the |Δ|≤ε check)
+        "kg_pagerank_check": f"""WITH edges AS ({fsql.kg_edges_sql()}),
+n AS (SELECT src_id AS node FROM edges
+      UNION SELECT dst_id AS node FROM edges)
+SELECT node, TRUE AS within_tol, TRUE AS sum_ok FROM n""",
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "suppliers_per_region": rel.Q5_SQL,
@@ -809,6 +910,11 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "docs_langid": ts.LANGID_SQL,
         "emb_knn_bruteforce": sim.knn_sql(),
         "eval_extraction_pr": fsql.eval_pr_sql(EVAL_HEADS),
+        # learned-path quality gate: oracle = head list + literal TRUE
+        "eval_extraction_pr_trained": """SELECT head,
+  TRUE AS pr_ge_95, TRUE AS rc_ge_95
+FROM (VALUES ('baseline-trained'), ('mpn-trained'), ('mhs-trained'),
+             ('biaffine-trained')) AS t(head)""",
         # sketch-accuracy boolean verdicts: oracle = exact values + TRUE
         "events_user_hll_check": sk.HLL_CHECK_SQL,
         "docs_top_tokens_mg_check": sk.MG_CHECK_SQL,
@@ -823,6 +929,12 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
         "docs_near_dup_check": dd.NEAR_DUP_CHECK_SQL,
         "docs_edit_dist_pairs": dd.EDIT_DIST_SQL,
         "parts_price_rank": rel.PRICE_RANK_SQL,
+        "events_type_stats_var": rel.TYPE_STATS_VAR_SQL,
+        "events_hivalue_except_users": rel.HIVALUE_EXCEPT_SQL,
+        "events_hivalue_intersect_users": rel.HIVALUE_INTERSECT_SQL,
+        "lineitem_discount_bands": rel.DISCOUNT_BANDS_SQL,
+        "events_user_ntile": rel.USER_NTILE_SQL,
+        "docs_url_domains": ts.URL_DOMAINS_SQL,
         "emb_ivf_recall_check": sim.IVF_RECALL_CHECK_SQL,
         "events_value_ma_1h": rel.VALUE_MA_1H_SQL,
         "docs_langid_confusion": ts.LANGID_CONFUSION_SQL,

@@ -494,6 +494,178 @@ def dump_stats(sf_dir: str, num_cpus: int) -> None:
         ray.shutdown()
 
 
+# pytest pins for the queries that are rows-only BY DESIGN (hash-family /
+# approximate / float-valued operators that are not faithfully
+# SQL-expressible).  Every queries() entry without an oracle_sql() row MUST
+# appear here — run_parity errors on an unpinned rows-only query, so the
+# map cannot silently drift out of sync with __ray_entry__.
+ROWS_ONLY_PINS = {
+    "docs_near_dup_pairs":
+        "tests/test_training_data_ops.py::test_near_dup_pairs_find_planted_dups",
+    "docs_minhash_clusters":
+        "tests/test_training_data_ops.py::test_minhash_clusters_group_planted_dups",
+    "docs_simhash":
+        "tests/test_training_data_ops.py::test_simhash_hamming",
+    "docs_simhash_near_dup":
+        "tests/test_training_data_ops.py::test_simhash_near_dup_pairs",
+    "docs_simhash_clusters":
+        "tests/test_training_data_ops.py::test_dup_clusters_distributed_path_matches_fast",
+    "emb_dup_pairs":
+        "tests/test_training_data_ops.py::test_embedding_dup_pairs_planted",
+    "docs_fingerprints":
+        "tests/test_training_data_ops.py::test_rolling_hash_properties",
+    "emb_knn_ivf":
+        "tests/test_training_data_ops.py::test_knn_ivf_recall",
+    "emb_knn_ivf_partitioned":
+        "tests/test_training_data_ops.py::test_knn_ivf_partitioned_prunes_and_matches",
+    "emb_kmeans_clusters":
+        "tests/test_round3_ops.py::test_kmeans_cluster_stats_matches_numpy_reference",
+    "emb_semantic_dedup":
+        "tests/test_training_data_ops.py::test_semantic_dedup_drops_planted_near_dups",
+    "emb_knn_lsh":
+        "tests/test_training_data_ops.py::test_knn_lsh_recall_on_clustered_vectors",
+    "multimodal_image_decode":
+        "tests/test_training_data_ops.py::test_multimodal_plumbing",
+    "multimodal_image_resize":
+        "tests/test_training_data_ops.py::test_multimodal_plumbing",
+    "multimodal_audio_features":
+        "tests/test_training_data_ops.py::test_multimodal_real_audio_branch",
+    "multimodal_video_frames":
+        "tests/test_training_data_ops.py::test_multimodal_plumbing",
+    "kg_pagerank":
+        "tests/test_graph_analytics.py::test_kg_pagerank_matches_dense_reference",
+    "events_user_hll":
+        "tests/test_sketches.py::test_events_user_hll_matches_exact_within_bound",
+    "docs_top_tokens_mg":
+        "tests/test_sketches.py::test_docs_top_tokens_mg_finds_exact_heavy_hitters",
+    "events_value_quantiles_hist":
+        "tests/test_sketches.py::test_events_value_quantiles_hist_close_to_exact",
+}
+
+PARITY_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon_for_hash(df):
+    """Driver-compare canonical form: columns sorted by name, every value
+    stringified (floats at 12 significant digits so a last-ulp divergence
+    between DuckDB's and Ray's float pipelines doesn't flip the row sort),
+    rows sorted by all columns."""
+    import numpy as np
+    import pandas as pd
+
+    out = {}
+    for c in sorted(df.columns):
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            out[c] = np.array(["%.12g" % v for v in col.to_numpy()])
+        elif pd.api.types.is_bool_dtype(col):
+            out[c] = col.map({True: "true", False: "false"}).to_numpy()
+        else:
+            out[c] = col.astype(str).to_numpy()
+    cf = pd.DataFrame(out)
+    if len(cf):
+        cf = cf.sort_values(list(cf.columns), kind="mergesort")
+    return cf.reset_index(drop=True)
+
+
+def _frame_hash(cf) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update("\x1e".join(cf.columns).encode())
+    for c in cf.columns:
+        h.update(b"\x1d")
+        h.update("\x1f".join(cf[c].tolist()).encode())
+    return h.hexdigest()
+
+
+def _to_pandas(res):
+    if hasattr(res, "iter_batches"):  # ray.data.Dataset
+        return res.to_pandas()
+    if hasattr(res, "to_pandas"):  # pyarrow.Table
+        return res.to_pandas()
+    return res
+
+
+def run_parity(sf_dir: str, out_path: str) -> dict:
+    """The builder-side replica of the driver's correctness gate, as a
+    reproducible artifact: EVERY queries() entry runs against its
+    oracle_sql() DuckDB mirror at ``sf_dir`` and gets a driver-format row
+    ``{rows_match, schema_match, hash_match, ray_rows, oracle_rows,
+    wall_s, err}``; rows-only queries (no oracle by design) are enumerated
+    with their named pytest pin.  Ray must already be initialised."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in PARITY_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    results: dict[str, dict] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        row: dict = {}
+        try:
+            rdf = _to_pandas(fn(sf_dir))
+            row["ray_rows"] = int(len(rdf))
+            sql = oracles.get(name)
+            if sql is None:
+                pin = ROWS_ONLY_PINS.get(name)
+                if pin is None:
+                    raise RuntimeError(
+                        f"rows-only query {name!r} has no pytest pin in "
+                        "ROWS_ONLY_PINS — add one"
+                    )
+                row.update({
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "rows_only": True,
+                    "pytest_pin": pin,
+                })
+            else:
+                odf = con.execute(sql).df()
+                rcf, ocf = _canon_for_hash(rdf), _canon_for_hash(odf)
+                row.update({
+                    "oracle_rows": int(len(odf)),
+                    "rows_match": len(rdf) == len(odf),
+                    "schema_match": list(rcf.columns) == list(ocf.columns),
+                    "hash_match": _frame_hash(rcf) == _frame_hash(ocf),
+                    "rows_only": False,
+                })
+        except Exception as e:  # noqa: BLE001 — artifact records the error
+            row["err"] = f"{type(e).__name__}: {e}"[:500]
+        row["wall_s"] = round(time.time() - t0, 3)
+        results[name] = row
+        status = ("ERR" if "err" in row
+                  else "rows-only" if row.get("rows_only")
+                  else "OK" if row.get("hash_match")
+                  else "MISMATCH")
+        print(f"[parity] {name}: {status} ({row['wall_s']}s)",
+              file=sys.stderr, flush=True)
+    checked = [r for r in results.values()
+               if not r.get("rows_only") and "err" not in r]
+    summary = {
+        "sf": sf_dir,
+        "n_queries": len(results),
+        "n_checked": len(checked),
+        "n_hash_exact": sum(1 for r in checked if r["hash_match"]),
+        "n_rows_only": sum(1 for r in results.values()
+                           if r.get("rows_only")),
+        "n_err": sum(1 for r in results.values() if "err" in r),
+    }
+    artifact = {"summary": summary, "queries": results}
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    return summary
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -506,10 +678,30 @@ def main() -> None:
                     help="dump ds.stats() of the headline extraction to "
                          "/tmp/bench_extract_stats.txt")
     ap.add_argument("--child-extract", action="store_true")
+    ap.add_argument("--parity", action="store_true",
+                    help="run every queries() entry vs its oracle_sql() "
+                         "DuckDB mirror (driver-format rows) and write "
+                         "--parity-out; default sf dir is sf0.01")
+    ap.add_argument("--parity-out",
+                    default=str(Path(__file__).resolve().parent
+                                / "PARITY_r05.json"))
     args = ap.parse_args()
 
     if args.child_extract:
         run_child_extraction(args.sf_dir, args.num_cpus, args.multiplier)
+        return
+    if args.parity:
+        import ray
+
+        sf = (args.sf_dir if args.sf_dir != DEFAULT_SF_DIR
+              or os.environ.get("GRAFT_SF_DIR")
+              else "/root/testdata/sf0.01")
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True)
+        try:
+            print(json.dumps(run_parity(sf, args.parity_out)))
+        finally:
+            ray.shutdown()
         return
     if args.scaling:
         print(json.dumps(run_scaling(

@@ -46,5 +46,26 @@ def _install_empty_shuffle_schema_filter() -> None:
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_EmptyShuffleSchemaFilter())
 
+    class _EmptyBlockSizeSampleFilter(logging.Filter):
+        """Drop Ray's block-size-sampler warning for EMPTY object columns,
+        and only it: ``PandasBlockAccessor.size_bytes`` samples object
+        columns through ``np.vectorize``, which raises on size-0 input
+        (``cannot call `vectorize` on size 0 inputs``) — an empty column
+        weighs nothing, the sampler's fallback is correct, and typed empty
+        frames are exactly what ``functions.grouping`` emits on purpose to
+        keep shuffle schemas stable.  A real size-estimation failure on a
+        non-empty column still warns."""
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "Error calculating size for column" in msg
+                and "size 0 inputs" in msg
+            )
+
+    logging.getLogger("ray.data._internal.pandas_block").addFilter(
+        _EmptyBlockSizeSampleFilter()
+    )
+
 
 _install_empty_shuffle_schema_filter()

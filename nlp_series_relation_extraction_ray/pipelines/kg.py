@@ -849,3 +849,61 @@ def kg_edges_named(edges_ds, nodes_ds):
         ["src_id", "src_name", "dst_id", "dst_name", "predicate",
          "qualifiers_json", "weight"]
     )
+
+
+def kg_pagerank_check(edges_ds, damping: float = 0.85, n_iter: int = 5,
+                      tol: float = 1e-9, sum_tol: float = 1e-6):
+    """Boolean-verdict accuracy gate for :func:`kg_pagerank` (the one KG
+    query whose floats make it rows-only): per node,
+    ``|distributed_rank − dense_reference_rank| ≤ tol`` plus a global
+    ``|Σ rank − 1| ≤ sum_tol`` verdict, emitted as literal booleans —
+    the SQL oracle emits the node universe + literal TRUE, so a
+    hash-exact driver match IS the fixed-point check (same pattern as
+    the sketch ``*_check`` queries).
+
+    The distributed side runs the SHUFFLE-JOIN plan (``dense_threshold=0``
+    — the 100-TB path, one rank⋈edge join + one per-destination reduce per
+    iteration); the reference is an independent driver-side dense power
+    iteration over the collected distinct adjacency.  Collecting that
+    adjacency is bounded by the canonical-entity vocabulary squared (edges
+    are the OUTPUT of canonicalization's reduce), not by corpus size —
+    the same boundedness argument as the dense-broadcast plan itself.
+    """
+    from ..functions.grouping import bucketed_group_apply
+
+    distributed = kg_pagerank(
+        edges_ds, damping=damping, n_iter=n_iter, dense_threshold=0
+    ).to_pandas()
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["src_id"].astype(str), "dst": df["dst_id"].astype(str)}
+        ).drop_duplicates()
+
+    adj = bucketed_group_apply(
+        edges_ds.map_batches(to_edges, batch_format="pandas"), ["src", "dst"],
+        lambda df: df.drop_duplicates(),
+    ).to_pandas()
+
+    nodes = sorted(set(adj["src"]) | set(adj["dst"]))
+    idx = {node: i for i, node in enumerate(nodes)}
+    n = len(nodes)
+    src = adj["src"].map(idx).to_numpy()
+    dst = adj["dst"].map(idx).to_numpy()
+    outdeg = np.bincount(src, minlength=n)
+    r = np.full(n, 1.0 / n)
+    safe_deg = np.where(outdeg == 0, 1, outdeg)
+    for _ in range(n_iter):
+        contrib = np.bincount(dst, weights=r[src] / safe_deg[src],
+                              minlength=n)
+        dangling = float(r[outdeg == 0].sum())
+        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+
+    got = distributed.set_index("node")["rank"].reindex(nodes)
+    within = (got.to_numpy() - r) ** 2 <= tol * tol  # NaN-safe: NaN → False
+    sum_ok = bool(abs(float(got.fillna(0.0).sum()) - 1.0) <= sum_tol) and (
+        len(distributed) == n
+    )
+    return pd.DataFrame(
+        {"node": nodes, "within_tol": within.astype(bool), "sum_ok": sum_ok}
+    )

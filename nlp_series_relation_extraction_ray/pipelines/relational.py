@@ -2919,3 +2919,280 @@ SELECT p_brand, p_partkey, price_cents, rank FROM (
 
 
 PRICE_RANK_SQL = parts_price_rank_sql()
+
+
+# --- round 5: exact variance / set ops / range join / NTILE ---------------
+
+
+def events_type_stats_var(sf_dir: str):
+    """Exact per-type variance/stddev via decomposable (n, Σc, Σc²) integer
+    partials over fixed-point cents — the moments reduce.
+
+    The raw-double Welford/naive float sums differ across partitionings in
+    the last ulp; summing exact int64 cents (and cents²) makes the merge
+    order-independent, then ONE float expression computes variance from the
+    exact totals — bit-identical to DuckDB evaluating the same expression
+    over the same exact integers.  Partial Σc² per batch stays far below
+    int64 (cents ≤ ~10⁶, squared 10¹² × batch rows); the cross-batch merge
+    runs in Python ints (arbitrary precision) inside the tiny 5-group
+    final, so no corpus size overflows it.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        c = cents(df["value"].to_numpy())
+        g = pd.DataFrame({"event_type": df["event_type"], "c": c,
+                          "c2": c * c})
+        out = g.groupby("event_type", as_index=False).agg(
+            n=("c", "size"), sum_c=("c", "sum"), sum_c2=("c2", "sum"))
+        return table_from_pandas(out, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in df.groupby("event_type"):
+            # Python-int totals: exact at any corpus size (the group count
+            # here is the event-type universe, not the corpus)
+            n = int(grp["n"].sum())
+            sc = sum(int(v) for v in grp["sum_c"])
+            sc2 = sum(int(v) for v in grp["sum_c2"])
+            # float only at the very end, same association as the SQL
+            var_c = (sc2 - (sc * sc) / n) / n
+            var_value = var_c / 10000.0
+            rows.append({
+                "event_type": et, "n": n, "sum_cents": sc,
+                "var_value": var_value,
+                "stddev_value": float(np.sqrt(var_value)),
+            })
+        out = pd.DataFrame(rows)
+        out["n"] = out["n"].astype("int64")
+        out["sum_cents"] = out["sum_cents"].astype("int64")
+        return out
+
+    from ..functions.grouping import coalesced_group_apply
+
+    return coalesced_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "event_type", merge
+    )
+
+
+TYPE_STATS_VAR_SQL = """
+WITH m AS (
+  SELECT event_type,
+    COUNT(*) AS n,
+    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_c,
+    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+        * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_c2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(sum_c AS BIGINT) AS sum_cents,
+  (CAST(sum_c2 AS DOUBLE)
+   - (CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)) / CAST(n AS DOUBLE))
+   / CAST(n AS DOUBLE) / 10000.0 AS var_value,
+  SQRT((CAST(sum_c2 AS DOUBLE)
+   - (CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)) / CAST(n AS DOUBLE))
+   / CAST(n AS DOUBLE) / 10000.0) AS stddev_value
+FROM m
+"""
+
+
+HI_VALUE_CENTS = 9000  # value >= 90.00, in exact cents
+
+
+def _users_by_type_flags(sf_dir: str):
+    """Per-user presence flags for the set-operator family: one map-side
+    dedup partial (distinct (user, has_hi_purchase, has_hi_view) per
+    batch) and one bucketed OR-merge per user — the INTERSECT/EXCEPT
+    kernel.  The exchange carries at most one row per (batch, user), never
+    the events."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        et = df["event_type"]
+        hi = cents(df["value"].to_numpy()) >= HI_VALUE_CENTS
+        out = pd.DataFrame({
+            "user_id": df["user_id"],
+            "hi_purchase": ((et == "purchase") & hi).astype("int64"),
+            "hi_view": ((et == "view") & hi).astype("int64"),
+        }).groupby("user_id", as_index=False).max()
+        return table_from_pandas(out, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).max()
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", merge
+    )
+
+
+def events_hivalue_except_users(sf_dir: str):
+    """EXCEPT set operator: distinct users with a high-value (≥ 90.00)
+    purchase and NO high-value view.  Shares the flag kernel with the
+    INTERSECT variant — one shuffle, map-side dedup bounds the exchange at
+    distinct users per batch."""
+    flags = _users_by_type_flags(sf_dir)
+    return flags.map_batches(
+        lambda df: df.loc[
+            (df["hi_purchase"] == 1) & (df["hi_view"] == 0), ["user_id"]
+        ],
+        batch_format="pandas",
+    )
+
+
+_HI_PURCHASE = ("SELECT user_id FROM events WHERE event_type = 'purchase' "
+                "AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 9000")
+_HI_VIEW = ("SELECT user_id FROM events WHERE event_type = 'view' "
+            "AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 9000")
+
+HIVALUE_EXCEPT_SQL = f"""
+{_HI_PURCHASE}
+EXCEPT
+{_HI_VIEW}
+"""
+
+
+def events_hivalue_intersect_users(sf_dir: str):
+    """INTERSECT set operator: distinct users with BOTH a high-value
+    purchase and a high-value view (same flag kernel as EXCEPT)."""
+    flags = _users_by_type_flags(sf_dir)
+    return flags.map_batches(
+        lambda df: df.loc[
+            (df["hi_purchase"] == 1) & (df["hi_view"] == 1), ["user_id"]
+        ],
+        batch_format="pandas",
+    )
+
+
+HIVALUE_INTERSECT_SQL = f"""
+{_HI_PURCHASE}
+INTERSECT
+{_HI_VIEW}
+"""
+
+
+# discount bands for the broadcast range join: [lo, hi) in exact cents of
+# discount-percent (l_discount ∈ [0, 0.1] in TPC-H) — a closed static dim
+DISCOUNT_BANDS = [
+    ("none", 0.00, 0.02),
+    ("low", 0.02, 0.05),
+    ("mid", 0.05, 0.08),
+    ("high", 0.08, 1.01),
+]
+
+
+def lineitem_discount_bands(sf_dir: str):
+    """Broadcast RANGE join: lineitem.l_discount ⋈ a small interval table
+    (``lo <= d < hi``), then a per-band revenue rollup.
+
+    The scale shape for joining a fact column to a SMALL set of intervals:
+    ship the band edges to every task (they are a constant here; a real
+    dim table would go via ``ray.put``) and resolve each row's band with
+    one vectorized ``np.searchsorted`` against the sorted ``lo`` edges —
+    no shuffle at all until the 4-group final.  Band membership is decided
+    on exact integer "discount cents" (``floor(d*1000+0.5)``), so float
+    edge cases land identically here and in the SQL oracle.
+    """
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_discount", "l_extendedprice"])
+    names = np.array([b[0] for b in DISCOUNT_BANDS])
+    # exact per-mille edges: 0, 20, 50, 80, 1010
+    los = np.array([int(np.floor(b[1] * 1000 + 0.5)) for b in DISCOUNT_BANDS]
+                   + [int(np.floor(DISCOUNT_BANDS[-1][2] * 1000 + 0.5))],
+                   dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d_mille = np.floor(
+            df["l_discount"].to_numpy(dtype=np.float64) * 1000 + 0.5
+        ).astype(np.int64)
+        band_ix = np.searchsorted(los, d_mille, side="right") - 1
+        out = pd.DataFrame({
+            "band": names[band_ix],
+            "n_items": np.int64(1),
+            "revenue_cents": cents(df["l_extendedprice"].to_numpy()),
+        }).groupby("band", as_index=False).agg(
+            n_items=("n_items", "sum"),
+            revenue_cents=("revenue_cents", "sum"))
+        return table_from_pandas(out, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("band", as_index=False).agg(
+            n_items=("n_items", "sum"),
+            revenue_cents=("revenue_cents", "sum"))
+        for c in ("n_items", "revenue_cents"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    from ..functions.grouping import coalesced_group_apply
+
+    return coalesced_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "band", merge
+    )
+
+
+def _discount_bands_values() -> str:
+    return ", ".join(
+        f"('{n}', {int(np.floor(lo * 1000 + 0.5))}, "
+        f"{int(np.floor(hi * 1000 + 0.5))})"
+        for n, lo, hi in DISCOUNT_BANDS
+    )
+
+
+DISCOUNT_BANDS_SQL = f"""
+WITH bands(band, lo_mille, hi_mille) AS (VALUES {_discount_bands_values()}),
+li AS (SELECT CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) AS d_mille,
+              CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS rev_cents
+       FROM lineitem)
+SELECT band, COUNT(*) AS n_items,
+  CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+FROM li JOIN bands ON li.d_mille >= bands.lo_mille
+                  AND li.d_mille < bands.hi_mille
+GROUP BY band
+"""
+
+
+def events_user_ntile(sf_dir: str, n_tiles: int = 4):
+    """NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) — the
+    tile-assignment window function: one bucketed shuffle on user_id, then
+    a fully vectorized in-bucket kernel (lexsort + cumcount + the exact
+    NTILE size rule: the first ``n mod k`` tiles get ``⌈n/k⌉`` rows).
+    The (ts, event_id) order key is a total order (event_id unique), so
+    tile assignment is deterministic — SQL-exact."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    from ..functions.grouping import bucketed_group_apply
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        g = df.groupby("user_id")
+        r = g.cumcount().to_numpy()
+        n = g["user_id"].transform("size").to_numpy()
+        small = n // n_tiles          # base tile size
+        big = n % n_tiles             # first `big` tiles get small+1
+        cut = big * (small + 1)       # rows covered by the big tiles
+        # r < cut → tile r // (small+1); else big + (r-cut) // small
+        # (small == 0 only when n < k, and then every row is r < cut)
+        safe_small = np.where(small == 0, 1, small)
+        tile = np.where(
+            r < cut, r // (small + 1), big + (r - cut) // safe_small
+        ) + 1
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "tile": tile.astype("int64"),
+        })
+
+    return bucketed_group_apply(ds, "user_id", assign)
+
+
+USER_NTILE_SQL = """
+SELECT event_id, user_id,
+  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+    AS tile
+FROM events
+"""

@@ -621,3 +621,103 @@ SELECT d.lang, p.lang_pred, COUNT(*) AS n
 FROM documents d JOIN p USING (doc_id)
 GROUP BY d.lang, p.lang_pred
 """
+
+
+# --- round 5: URL/domain extraction (crawl-style per-domain stats) --------
+
+_URL_RE = re.compile(r"https://([a-z0-9.-]+)/[^\s]*")
+
+
+def plant_urls(docs_ds):
+    """Deterministically append synthetic URLs to a subset of documents
+    (pure function of ``doc_id`` — the raw corpus has none), mirrored by
+    the oracle's planting CTE.  ``doc_id % 3 == 0`` gets one URL on domain
+    ``site{doc_id % 23}``; ``% 13 == 0`` adds a second URL on domain
+    ``site{doc_id % 7}`` (same-domain repeats when the residues collide,
+    so distinct-doc and URL counts genuinely differ)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for did, t in zip(ids, texts):
+            if did % 3 == 0:
+                t += f" see https://site{did % 23}.example.org/p/{did} ok"
+            if did % 13 == 0:
+                t += f" and https://site{did % 7}.example.org/q/{did} too"
+            out.append(t)
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def url_domain_stats(docs_ds):
+    """(domain, n_urls, n_docs) — compiled-regex URL extraction + per-domain
+    rollup, the CommonCrawl-style per-domain accounting stage.
+
+    Map side: extract per row, count URLs, and dedupe (doc, domain) pairs
+    WITHIN the row (a document is atomic to one batch, so per-row dedup is
+    global dedup) — the exchange carries one row per (batch, domain) with
+    partial counts, never the text.  The domain universe is bounded (site
+    key-space), so the final is a coalesced single-block group."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        doms, urls, docs = [], [], []
+        acc: dict[str, list[int]] = {}
+        for did, t in zip(ids, texts):
+            found = _URL_RE.findall(t)
+            if not found:
+                continue
+            for d in set(found):
+                a = acc.setdefault(d, [0, 0])
+                a[0] += found.count(d)
+                a[1] += 1
+        for d, (nu, nd) in acc.items():
+            doms.append(d)
+            urls.append(nu)
+            docs.append(nd)
+        return pa.Table.from_pydict({
+            "domain": pa.array(doms, pa.string()),
+            "n_urls": pa.array(urls, pa.int64()),
+            "n_docs": pa.array(docs, pa.int64()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("domain", as_index=False).agg(
+            n_urls=("n_urls", "sum"), n_docs=("n_docs", "sum"))
+        for c in ("n_urls", "n_docs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    from ..functions.grouping import coalesced_group_apply
+
+    return coalesced_group_apply(
+        docs_ds.map_batches(partial, batch_format="pyarrow"), "domain", merge
+    )
+
+
+URL_DOMAINS_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 23)
+         || '.example.org/p/' || doc_id || ' ok' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' and https://site' || (doc_id % 7)
+         || '.example.org/q/' || doc_id || ' too' ELSE '' END AS text
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    UNNEST(regexp_extract_all(text, 'https://([a-z0-9.-]+)/[^ ]*', 1))
+      AS domain
+  FROM planted
+)
+SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+FROM hits GROUP BY domain
+"""

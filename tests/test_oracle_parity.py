@@ -137,6 +137,14 @@ def _check(entry_mod, con, name):
         "docs_training_corpus",
         "docs_edit_dist_pairs",
         "parts_price_rank",
+        # round-5 additions
+        "kg_pagerank_check",
+        "events_type_stats_var",
+        "events_hivalue_except_users",
+        "events_hivalue_intersect_users",
+        "lineitem_discount_bands",
+        "events_user_ntile",
+        "docs_url_domains",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

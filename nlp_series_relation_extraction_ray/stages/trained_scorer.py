@@ -109,6 +109,72 @@ def score_tokens(W: np.ndarray, b: np.ndarray, tokens: list[str]) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-(W[idx].sum(axis=1) + b)))
 
 
+def _extract_batch_baseline(W: np.ndarray, b: np.ndarray, head,
+                            batch: pa.Table) -> pa.Table:
+    """Shared per-batch kernel of BOTH physical plans (task pool and actor
+    pool): score each turn with the trained weights and decode triples."""
+    import json
+
+    out = {k: [] for k in ("conv_id", "turn_idx", "head", "predicate",
+                           "subject", "subject_type", "object_json",
+                           "object_type_json", "object_value")}
+    for cid, tix, text in zip(
+        batch["conv_id"].to_pylist(),
+        batch["turn_idx"].to_pylist(),
+        batch["text"].to_pylist(),
+    ):
+        ex = head.preprocess(text)
+        probs = score_tokens(W, b, ex["tokens"])
+        _, spo_list = head.decode(ex, probs)
+        for spo in spo_list:
+            out["conv_id"].append(cid)
+            out["turn_idx"].append(tix)
+            out["head"].append("baseline-trained")
+            out["predicate"].append(spo["predicate"])
+            out["subject"].append(spo["subject"])
+            out["subject_type"].append(spo["subject_type"])
+            out["object_json"].append(
+                json.dumps(spo["object"], ensure_ascii=False,
+                           sort_keys=True))
+            out["object_type_json"].append(
+                json.dumps(spo["object_type"], ensure_ascii=False,
+                           sort_keys=True))
+            out["object_value"].append(spo["object"].get("@value", ""))
+    return pa.Table.from_pydict(
+        {
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            "head": pa.array(out["head"], pa.string()),
+            "predicate": pa.array(out["predicate"], pa.string()),
+            "subject": pa.array(out["subject"], pa.string()),
+            "subject_type": pa.array(out["subject_type"], pa.string()),
+            "object_json": pa.array(out["object_json"], pa.string()),
+            "object_type_json": pa.array(out["object_type_json"],
+                                         pa.string()),
+            "object_value": pa.array(out["object_value"], pa.string()),
+        }
+    )
+
+
+# Per-worker-process cache of broadcast model state for the TASK-pool plan:
+# task workers are long-lived and REUSED across Dataset executions (unlike a
+# map_batches actor fleet, which is spawned fresh per execution), so the
+# first batch a worker sees pays one zero-copy ``ray.get`` from the local
+# object store and every later batch — including batches of a LATER job in
+# the same session — reads process memory.  Keyed by ObjectRef so a new
+# checkpoint broadcast invalidates naturally.
+_WORKER_STATE_CACHE: dict = {}
+
+
+def _cached_weights(weights_ref):
+    import ray
+
+    key = weights_ref.hex() if hasattr(weights_ref, "hex") else id(weights_ref)
+    if key not in _WORKER_STATE_CACHE:
+        _WORKER_STATE_CACHE[key] = (ray.get(weights_ref), BaselineHead())
+    return _WORKER_STATE_CACHE[key]
+
+
 class TrainedBaselineExtractor:
     """Actor-pool stage: trained weights in, triples out.
 
@@ -123,63 +189,47 @@ class TrainedBaselineExtractor:
         self.head = BaselineHead()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import json
-
-        out = {k: [] for k in ("conv_id", "turn_idx", "head", "predicate",
-                               "subject", "subject_type", "object_json",
-                               "object_type_json", "object_value")}
-        for cid, tix, text in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["text"].to_pylist(),
-        ):
-            ex = self.head.preprocess(text)
-            probs = score_tokens(self.W, self.b, ex["tokens"])
-            _, spo_list = self.head.decode(ex, probs)
-            for spo in spo_list:
-                out["conv_id"].append(cid)
-                out["turn_idx"].append(tix)
-                out["head"].append("baseline-trained")
-                out["predicate"].append(spo["predicate"])
-                out["subject"].append(spo["subject"])
-                out["subject_type"].append(spo["subject_type"])
-                out["object_json"].append(
-                    json.dumps(spo["object"], ensure_ascii=False,
-                               sort_keys=True))
-                out["object_type_json"].append(
-                    json.dumps(spo["object_type"], ensure_ascii=False,
-                               sort_keys=True))
-                out["object_value"].append(spo["object"].get("@value", ""))
-        return pa.Table.from_pydict(
-            {
-                "conv_id": pa.array(out["conv_id"], pa.string()),
-                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
-                "head": pa.array(out["head"], pa.string()),
-                "predicate": pa.array(out["predicate"], pa.string()),
-                "subject": pa.array(out["subject"], pa.string()),
-                "subject_type": pa.array(out["subject_type"], pa.string()),
-                "object_json": pa.array(out["object_json"], pa.string()),
-                "object_type_json": pa.array(out["object_type_json"],
-                                             pa.string()),
-                "object_value": pa.array(out["object_value"], pa.string()),
-            }
-        )
+        return _extract_batch_baseline(self.W, self.b, self.head, batch)
 
 
 def extract_triples_trained(
-    transcripts_ds, weights_ref, concurrency=None, batch_size: int = 128
+    transcripts_ds, weights_ref, concurrency=None, batch_size: int = 128,
+    plan: str = "tasks",
 ):
-    """Trained-scorer extraction: the actor-pool physical plan (weights are
-    genuinely heavy state — 28 MB — loaded once per actor)."""
+    """Trained-scorer extraction with broadcast model weights (28 MB,
+    ``ray.put`` once).  Two physical plans, identical output:
+
+    - ``plan="tasks"`` (default): plain ``map_batches`` over the shared
+      long-lived task workers, weights resolved through the per-process
+      :data:`_WORKER_STATE_CACHE` (one zero-copy plasma read per worker,
+      ever).  Because task workers survive across Dataset executions, a
+      session's SECOND trained job starts at full speed — an actor fleet
+      would re-pay process spawn × imports × weight fetch per execution,
+      which is exactly the cold/warm gap the bench history showed
+      (r2 7.2 s → r3 18.7 s → r4 8.55 s warm with identical code).  The
+      state is immutable broadcast data, so actor affinity buys nothing.
+    - ``plan="actors"``: the explicit actor-pool stage
+      (:class:`TrainedBaselineExtractor`, weights in ``__init__``) — the
+      shape a GPU/torch scorer needs (pin memory, per-actor device), kept
+      as the S6 reference plan and used by the other trained heads.
+    """
+    names = transcripts_ds.schema().names
+    needed = ["conv_id", "turn_idx", "text"]
+    if set(needed) < set(names):
+        transcripts_ds = transcripts_ds.select_columns(needed)
+    if plan == "tasks":
+        def fn(batch: pa.Table) -> pa.Table:
+            (W, b), head = _cached_weights(weights_ref)
+            return _extract_batch_baseline(W, b, head, batch)
+
+        return transcripts_ds.map_batches(
+            fn, batch_format="pyarrow", batch_size=batch_size
+        )
     if concurrency is None:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 4))
         concurrency = max(2, cpus // 2)
-    names = transcripts_ds.schema().names
-    needed = ["conv_id", "turn_idx", "text"]
-    if set(needed) < set(names):
-        transcripts_ds = transcripts_ds.select_columns(needed)
     return transcripts_ds.map_batches(
         TrainedBaselineExtractor,
         fn_constructor_kwargs={"weights_ref": weights_ref},

@@ -67,6 +67,28 @@ def test_batched_tensor_scorer_identical(ray_session, weights):
     pd.testing.assert_frame_equal(per_example, batched)
 
 
+def test_task_and_actor_plans_identical(ray_session, weights):
+    """The default task-pool plan (worker-global weight cache) and the
+    actor-pool plan (weights in ``__init__``) are alternative physical
+    plans of ONE operator: byte-identical triples."""
+    import pandas as pd
+    import ray
+
+    wref = ray.put(weights)
+    cols = ["conv_id", "turn_idx", "predicate", "subject", "object_json"]
+
+    def run(plan):
+        return (
+            extract_triples_trained(
+                transcripts_dataset(N_EVAL), wref, plan=plan
+            )
+            .select_columns(cols).to_pandas()
+            .sort_values(cols).reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run("tasks"), run("actors"))
+
+
 def test_trained_weights_deterministic():
     # small budget: only the bit-for-bit reproducibility is under test
     W, b = train_baseline_scorer(n_train_convs=200, epochs=3)

@@ -340,29 +340,38 @@ def _eval_pr(sf_dir: str):
     return pd.DataFrame(rows)
 
 
-# (head, extract_fn_name, train_fn_name) for the LEARNED quality gate;
-# thresholds are per-head floors the full deterministic training recipes
-# clear with margin (measured at sf0.01: see BASELINE.md round 5)
+# (head, extract_fn_name, train_fn_name, train_kwargs) for the LEARNED
+# quality gate.  The recipes are the deterministic reduced budgets whose
+# measured P/R at sf0.001 AND sf0.01 is identical (the synthetic corpus is
+# periodic, so the ratios are scale-invariant) and clears the 0.95 floor:
+# baseline P=.9946/R=.9862, mpn P=.97x/R=1.0 (bumped budget), mhs
+# P=.9881/R=1.0, biaffine P=.9774/R=.9862 — see BASELINE.md round 5.
 TRAINED_EVAL_SPECS = (
-    ("baseline-trained", "extract_triples_trained", "train_baseline_scorer"),
-    ("mpn-trained", "extract_triples_trained_mpn", "train_mpn_scorer"),
-    ("mhs-trained", "extract_triples_trained_mhs", "train_mhs_scorer"),
+    ("baseline-trained", "extract_triples_trained", "train_baseline_scorer",
+     dict(n_train_convs=1200, epochs=30)),
+    ("mpn-trained", "extract_triples_trained_mpn", "train_mpn_scorer",
+     dict(n_train_convs=900, subject_epochs=25, po_epochs=20)),
+    ("mhs-trained", "extract_triples_trained_mhs", "train_mhs_scorer",
+     dict(n_train_convs=700, span_epochs=20, pair_epochs=15)),
     ("biaffine-trained", "extract_triples_trained_biaffine",
-     "train_biaffine_scorer"),
+     "train_biaffine_scorer",
+     dict(n_train_convs=700, span_epochs=20, pair_epochs=15)),
 )
 TRAINED_PR_FLOOR = 0.95
 
 
-def _trained_weights_ref(train_fn_name: str):
-    """Train once per process (full deterministic recipe, fixture corpus —
+def _trained_weights_ref(train_fn_name: str, train_kwargs: dict):
+    """Train once per process (deterministic recipe, fixture corpus —
     independent of sf_dir) and broadcast via ``ray.put``."""
     import ray
 
     from nlp_series_relation_extraction_ray.stages import trained_scorer as tsc
 
-    key = ("trained_weights", train_fn_name)
+    key = ("trained_weights", train_fn_name, tuple(sorted(train_kwargs.items())))
     if key not in _SHARED_CACHE:
-        _SHARED_CACHE[key] = ray.put(getattr(tsc, train_fn_name)())
+        _SHARED_CACHE[key] = ray.put(
+            getattr(tsc, train_fn_name)(**train_kwargs)
+        )
     return _SHARED_CACHE[key]
 
 
@@ -389,8 +398,9 @@ def _eval_pr_trained(sf_dir: str):
     n = _n_convs(sf_dir)
     total_gold = total_gold_fn(n)
     rows = []
-    for head, extract_fn_name, train_fn_name in TRAINED_EVAL_SPECS:
-        wref = _trained_weights_ref(train_fn_name)
+    for head, extract_fn_name, train_fn_name, train_kwargs in (
+            TRAINED_EVAL_SPECS):
+        wref = _trained_weights_ref(train_fn_name, train_kwargs)
         triples = getattr(tsc, extract_fn_name)(_transcripts(sf_dir), wref)
         m = evaluate_triples(triples, _synthetic_gold, total_gold)
         rows.append({

@@ -132,15 +132,19 @@ def _kg_edges(sf_dir: str):
 
 
 def _docs(sf_dir: str):
-    import ray
+    from nlp_series_relation_extraction_ray.sources.readers import (
+        read_parquet_clean,
+    )
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
 def _embs(sf_dir: str):
-    import ray
+    from nlp_series_relation_extraction_ray.sources.readers import (
+        read_parquet_clean,
+    )
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _emb_dups(sf_dir: str):

@@ -95,11 +95,16 @@ def build_kg(transcripts_ds, head: str = "baseline", out_dir: str | None = None)
     """
     import ray
 
+    from ..sources.readers import read_parquet_clean
+
     triples = extract_triples(transcripts_ds, head=head)
     if out_dir:
         triples_dir = f"{out_dir}/triples"
         triples.write_parquet(triples_dir)
-        triples = ray.data.read_parquet(triples_dir)
+        # metadata-free re-read: pandas footer metadata makes the fragment
+        # schemas unhashable (Ray then logs "Failed to hash the schemas"
+        # and loses its schema-dedup fast path on every downstream stage)
+        triples = read_parquet_clean(triples_dir)
 
     from ..sources.kb import build_alias_index
 
@@ -112,8 +117,8 @@ def build_kg(transcripts_ds, head: str = "baseline", out_dir: str | None = None)
         edges_dir = f"{out_dir}/edges"
         nodes.write_parquet(nodes_dir)
         edges.write_parquet(edges_dir)
-        nodes = ray.data.read_parquet(nodes_dir)
-        edges = ray.data.read_parquet(edges_dir)
+        nodes = read_parquet_clean(nodes_dir)
+        edges = read_parquet_clean(edges_dir)
     return {"triples": triples, "nodes": nodes, "edges": edges}
 
 
@@ -845,9 +850,14 @@ def kg_edges_named(edges_ds, nodes_ds):
         with_src, names.map_batches(as_dst, batch_format="pandas"),
         on="dst_id",
     )
-    return named.select_columns(
-        ["src_id", "src_name", "dst_id", "dst_name", "predicate",
-         "qualifiers_json", "weight"]
+    # final projection as a fused pandas reorder, NOT a standalone Project
+    # op: the join reduce emits merge-ordered columns, and mixing those
+    # bundles with Project-ordered ones is exactly the benign-but-noisy
+    # "RefBundle with a different schema" (column order) divergence
+    final_cols = ["src_id", "src_name", "dst_id", "dst_name", "predicate",
+                  "qualifiers_json", "weight"]
+    return named.map_batches(
+        lambda df: df[final_cols], batch_format="pandas"
     )
 
 

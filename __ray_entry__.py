@@ -786,6 +786,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_url_domains": lambda sf: ts.url_domain_stats(
                 ts.plant_urls(_docs(sf))
             ),
+            # rare-token quality signal (inverted broadcast: the COMMON
+            # set is the scale-free side; planted df-controlled tokens)
+            "docs_rare_token_stats": lambda sf: ts.rare_token_stats(
+                ts.plant_rare_tokens(_docs(sf)), _n_convs(sf)
+            ),
         }
     )
     return q
@@ -949,6 +954,7 @@ FROM (VALUES ('baseline-trained'), ('mpn-trained'), ('mhs-trained'),
         "lineitem_discount_bands": rel.DISCOUNT_BANDS_SQL,
         "events_user_ntile": rel.USER_NTILE_SQL,
         "docs_url_domains": ts.URL_DOMAINS_SQL,
+        "docs_rare_token_stats": ts.RARE_TOKEN_STATS_SQL,
         "emb_ivf_recall_check": sim.IVF_RECALL_CHECK_SQL,
         "events_value_ma_1h": rel.VALUE_MA_1H_SQL,
         "docs_langid_confusion": ts.LANGID_CONFUSION_SQL,

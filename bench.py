@@ -249,6 +249,7 @@ def bench_queries(sf_dir: str) -> dict:
         "lineitem_discount_bands",
         "events_user_ntile",
         "docs_url_domains",
+        "docs_rare_token_stats",
     ]
     qs = entry.queries()
     # the KG build cost is reported by bench_kg; pre-warm the shared edge

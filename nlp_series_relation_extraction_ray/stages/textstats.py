@@ -721,3 +721,136 @@ hits AS (
 SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
 FROM hits GROUP BY domain
 """
+
+
+# --- round 5: rare-token quality scoring (CCNet/Gopher-flavor signal) -----
+
+
+def plant_rare_tokens(docs_ds):
+    """Deterministically append tokens with controlled document frequency
+    (pure function of ``doc_id``; the raw synthetic vocabulary has min
+    df ≥ 10 so the rare signal would be vacuous without planting):
+    ``doc_id % 5 == 0`` gets the globally-unique token ``tok<doc_id>``
+    (df = 1 → always rare); ``doc_id % 2 == 0`` gets ``semi<doc_id % 50>``
+    (df = n_docs/100 → lands exactly ON the corpus-relative threshold, the
+    boundary case: common).  Mirrored by the oracle's planting CTE."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for did, t in zip(ids, texts):
+            if did % 5 == 0:
+                t += f" tok{did}"
+            if did % 2 == 0:
+                t += f" semi{did % 50}"
+            out.append(t)
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def rare_token_stats(docs_ds, n_docs: int, rare_df_threshold: int | None = None):
+    """(doc_id, n_distinct, rare_tokens, rare_frac) — per-document count of
+    DISTINCT tokens whose corpus document-frequency is below the
+    corpus-relative threshold (default ``max(2, n_docs // 100)``), the
+    rare-vocabulary quality signal LM-pipeline filters use (a document
+    dominated by corpus-rare tokens is boilerplate, code, or noise).
+
+    Scale shape — the INVERTED broadcast: the rare set is
+    vocabulary-sized (unbounded), but the COMMON set (df ≥ threshold) is
+    scale-free by the same argument as tf-idf's heavy head (Σdf is the
+    corpus token-pair count, so #common ≤ 100 × avg distinct tokens/doc
+    at any corpus size).  One distributed df reduce builds the common set,
+    ``ray.put`` broadcasts it, and scoring is a pure row-local map:
+    ``rare = n_distinct − |tokens ∩ common|``.  No corpus-sized state
+    ever reaches the driver or a single reducer."""
+    import ray
+
+    from ..functions.grouping import bucketed_group_apply
+
+    if rare_df_threshold is None:
+        rare_df_threshold = max(2, n_docs // 100)
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        # distinct (doc, token) within the batch: docs are row-atomic, so
+        # per-row dedup is global dedup; emit per-token partial df counts
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(set(t.split(" ")))
+        return pa.Table.from_pydict({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "df": pa.array(list(c.values()), pa.int64()),
+        })
+
+    def df_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", as_index=False)["df"].sum()
+        out = out[out["df"] >= rare_df_threshold]  # keep only the common set
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    common_tbl = bucketed_group_apply(
+        docs_ds.map_batches(tok_partial, batch_format="pyarrow"),
+        "token", df_merge,
+    ).to_pandas()
+    common_ref = ray.put(frozenset(common_tbl["token"]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        common = ray.get(common_ref)
+        ids, nd, rare, frac = [], [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            toks = set(t.split(" "))
+            n = len(toks)
+            r = sum(1 for tk in toks if tk not in common)
+            ids.append(did)
+            nd.append(n)
+            rare.append(r)
+            frac.append(r / n if n else 0.0)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "rare_tokens": pa.array(rare, pa.int64()),
+            "rare_frac": pa.array(frac, pa.float64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def rare_token_stats_sql() -> str:
+    """The threshold is computed IN SQL from the corpus row count
+    (``GREATEST(2, n_docs // 100)``), mirroring the Ray side's
+    ``max(2, n_docs // 100)`` — the oracle stays valid at any sf."""
+    return """
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0 THEN ' tok' || doc_id ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN ' semi' || (doc_id % 50) ELSE '' END
+      AS text
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM planted
+),
+df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+thr AS (SELECT GREATEST(2, COUNT(*) // 100) AS v FROM documents)
+SELECT t.doc_id,
+  COUNT(*) AS n_distinct,
+  CAST(SUM(CASE WHEN df.df < thr.v THEN 1 ELSE 0 END)
+    AS BIGINT) AS rare_tokens,
+  CAST(SUM(CASE WHEN df.df < thr.v THEN 1 ELSE 0 END)
+       AS DOUBLE) / COUNT(*) AS rare_frac
+FROM tok t JOIN df ON t.token = df.token, thr
+GROUP BY t.doc_id
+"""
+
+
+RARE_TOKEN_STATS_SQL = rare_token_stats_sql()

@@ -145,6 +145,7 @@ def _check(entry_mod, con, name):
         "lineitem_discount_bands",
         "events_user_ntile",
         "docs_url_domains",
+        "docs_rare_token_stats",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

@@ -241,3 +241,74 @@ def test_kg_pagerank_check_all_true(ray_session):
     assert len(out) == 5
     assert out["within_tol"].all()
     assert out["sum_ok"].all()
+
+
+def test_rare_token_threshold_boundary(ray_session):
+    """A token with df EXACTLY at the corpus-relative threshold is common
+    (strict <); the globally-unique planted tokens are rare.  Hand-built
+    200-doc corpus: threshold = max(2, 200//100) = 2, so the df=2 token
+    'pair' is common and each doc's unique 'tok<i>' is rare."""
+    import pyarrow as pa
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.textstats import (
+        rare_token_stats,
+    )
+
+    n = 200
+    texts = [f"alpha beta tok{i}" + (" pair" if i < 2 else "")
+             for i in range(n)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = rare_token_stats(docs, n).to_pandas().set_index("doc_id")
+    # every doc: alpha/beta common (df=200), tok<i> rare (df=1)
+    assert (got["rare_tokens"] == 1).all()
+    # docs 0,1 carry 'pair' (df=2 == threshold -> common): 4 distinct
+    assert got.loc[0, "n_distinct"] == 4
+    assert got.loc[0, "rare_tokens"] == 1
+    assert got.loc[5, "n_distinct"] == 3
+    assert abs(got.loc[5, "rare_frac"] - 1 / 3) < 1e-15
+
+
+def test_edit_dist_cross_boundary_pair(ray_session):
+    """The r4 recall hole: lengths 63 and 65 land in length-buckets 0 and
+    1, so without adjacent-bucket spill a dist-2 pair is never compared.
+    Ground truth is an UNBLOCKED DuckDB levenshtein self-join over the
+    fixture — the blocked distributed kernel must recover every pair,
+    including the boundary-straddling one (this test fails on the
+    pre-spill blocking)."""
+    import pyarrow as pa
+    import ray
+
+    from nlp_series_relation_extraction_ray.stages.dedup import (
+        edit_dist_pairs,
+    )
+
+    texts = [
+        "x" * 63,          # doc 0: bucket 0
+        "x" * 65,          # doc 1: bucket 1 — dist 2 from doc 0, boundary
+        "x" * 64,          # doc 2: bucket 1 — dist 1 from doc 1
+        "y" * 40,          # doc 3: far from everything
+        "x" * 63 + "abc",  # doc 4: 66 chars, dist 3 from doc 0
+    ]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = edit_dist_pairs(docs, max_dist=8).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO d VALUES (?, ?)", [i, t])
+    truth = con.execute(
+        """SELECT a.doc_id, b.doc_id FROM d a JOIN d b
+           ON a.doc_id < b.doc_id
+           WHERE levenshtein(a.text, b.text) <= 8"""
+    ).fetchall()
+    assert got_pairs == set(truth)
+    assert (0, 1) in got_pairs  # the cross-boundary pair specifically

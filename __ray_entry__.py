@@ -791,6 +791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_rare_token_stats": lambda sf: ts.rare_token_stats(
                 ts.plant_rare_tokens(_docs(sf)), _n_convs(sf)
             ),
+            # MODE aggregate with deterministic tie-break (argmax reduce)
+            "custs_priority_mode": rel.custs_priority_mode,
         }
     )
     return q
@@ -955,6 +957,7 @@ FROM (VALUES ('baseline-trained'), ('mpn-trained'), ('mhs-trained'),
         "events_user_ntile": rel.USER_NTILE_SQL,
         "docs_url_domains": ts.URL_DOMAINS_SQL,
         "docs_rare_token_stats": ts.RARE_TOKEN_STATS_SQL,
+        "custs_priority_mode": rel.PRIORITY_MODE_SQL,
         "emb_ivf_recall_check": sim.IVF_RECALL_CHECK_SQL,
         "events_value_ma_1h": rel.VALUE_MA_1H_SQL,
         "docs_langid_confusion": ts.LANGID_CONFUSION_SQL,

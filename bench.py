@@ -250,6 +250,7 @@ def bench_queries(sf_dir: str) -> dict:
         "events_user_ntile",
         "docs_url_domains",
         "docs_rare_token_stats",
+        "custs_priority_mode",
     ]
     qs = entry.queries()
     # the KG build cost is reported by bench_kg; pre-warm the shared edge

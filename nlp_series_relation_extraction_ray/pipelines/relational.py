@@ -3196,3 +3196,63 @@ SELECT event_id, user_id,
     AS tile
 FROM events
 """
+
+
+def custs_priority_mode(sf_dir: str):
+    """MODE aggregate: each customer's most-frequent order priority, ties
+    broken lexicographically (DuckDB's ``mode()`` leaves ties unspecified,
+    so the oracle uses an explicit ROW_NUMBER over the same (cnt DESC,
+    priority ASC) order — deterministic on both sides).
+
+    Decomposable shape: map-side (cust, priority, cnt) partials collapse
+    each batch to its distinct pairs, one bucketed reduce per customer
+    sums counts and takes the argmax — the exchange carries distinct
+    (cust, priority) pairs per batch (≤ 5 rows/cust), never the orders.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["o_custkey", "o_orderpriority"], as_index=False)
+        out = g.size().rename(columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby(["o_custkey", "o_orderpriority"], as_index=False)[
+            "cnt"].sum()
+        # vectorized argmax with the tie rule: sort (cnt DESC, prio ASC)
+        # then take the first row per customer
+        s = s.sort_values(
+            ["o_custkey", "cnt", "o_orderpriority"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        out = s.groupby("o_custkey", as_index=False).first()
+        out = out.rename(columns={"o_orderpriority": "mode_priority",
+                                  "cnt": "n_orders_at_mode"})
+        out["o_custkey"] = out["o_custkey"].astype("int64")
+        out["n_orders_at_mode"] = out["n_orders_at_mode"].astype("int64")
+        return out[["o_custkey", "mode_priority", "n_orders_at_mode"]]
+
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "o_custkey", merge
+    )
+
+
+PRIORITY_MODE_SQL = """
+WITH c AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_custkey, o_orderpriority
+),
+r AS (
+  SELECT o_custkey, o_orderpriority, cnt,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+  FROM c
+)
+SELECT o_custkey, o_orderpriority AS mode_priority,
+  CAST(cnt AS BIGINT) AS n_orders_at_mode
+FROM r WHERE rn = 1
+"""

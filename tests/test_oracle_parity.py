@@ -146,6 +146,7 @@ def _check(entry_mod, con, name):
         "events_user_ntile",
         "docs_url_domains",
         "docs_rare_token_stats",
+        "custs_priority_mode",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

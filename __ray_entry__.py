@@ -243,6 +243,20 @@ def _kg_pagerank_check(sf_dir: str):
     return kg_pagerank_check(_kg_edges_checkpoint(sf_dir))
 
 
+def _kg_kcore(sf_dir: str):
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_kcore
+
+    return kg_kcore(_kg_edges_checkpoint(sf_dir))
+
+
+def _kg_kcore_check(sf_dir: str):
+    from nlp_series_relation_extraction_ray.pipelines.kg import (
+        kg_kcore_check,
+    )
+
+    return kg_kcore_check(_kg_edges_checkpoint(sf_dir))
+
+
 def _dup_clusters(sf_dir: str):
     from nlp_series_relation_extraction_ray.stages import dedup as dd
 
@@ -552,6 +566,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # |shuffle-plan − dense-reference| ≤ 1e-9 + Σrank≈1 as literal
         # booleans; oracle = node universe + literal TRUE → driver-checkable)
         "kg_pagerank_check": _kg_pagerank_check,
+        # k-core decomposition (density stratification; integer cores —
+        # iterative peeling is not SQL-expressible, so the decomposition
+        # itself is rows-only and the _check gate is the driver-checkable
+        # distributed-vs-reference verdict)
+        "kg_kcore": _kg_kcore,
+        "kg_kcore_check": _kg_kcore_check,
         # weakly-connected components of the entity graph (SQL-exact vs a
         # recursive-CTE transitive closure, like docs_dup_clusters)
         "kg_components": _kg_components,
@@ -883,6 +903,12 @@ SELECT u AS entity_id, MIN(v) AS component_id FROM r GROUP BY u""",
 n AS (SELECT src_id AS node FROM edges
       UNION SELECT dst_id AS node FROM edges)
 SELECT node, TRUE AS within_tol, TRUE AS sum_ok FROM n""",
+        # k-core gate: node universe of the SIMPLE graph (self-loop-only
+        # nodes excluded) + literal TRUE verdicts
+        "kg_kcore_check": f"""WITH edges AS ({fsql.kg_edges_sql()}),
+e AS (SELECT src_id, dst_id FROM edges WHERE src_id <> dst_id),
+n AS (SELECT src_id AS node FROM e UNION SELECT dst_id AS node FROM e)
+SELECT node, TRUE AS core_match, TRUE AS count_ok FROM n""",
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_orders": rel.Q3_SQL,
         "suppliers_per_region": rel.Q5_SQL,

@@ -251,6 +251,7 @@ def bench_queries(sf_dir: str) -> dict:
         "docs_url_domains",
         "docs_rare_token_stats",
         "custs_priority_mode",
+        "kg_kcore",
     ]
     qs = entry.queries()
     # the KG build cost is reported by bench_kg; pre-warm the shared edge
@@ -551,6 +552,8 @@ ROWS_ONLY_PINS = {
         "tests/test_training_data_ops.py::test_multimodal_plumbing",
     "kg_pagerank":
         "tests/test_graph_analytics.py::test_kg_pagerank_matches_dense_reference",
+    "kg_kcore":
+        "tests/test_graph_analytics.py::test_kg_kcore_known_graph",
     "events_user_hll":
         "tests/test_sketches.py::test_events_user_hll_matches_exact_within_bound",
     "docs_top_tokens_mg":

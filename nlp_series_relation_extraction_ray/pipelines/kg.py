@@ -917,3 +917,168 @@ def kg_pagerank_check(edges_ds, damping: float = 0.85, n_iter: int = 5,
     return pd.DataFrame(
         {"node": nodes, "within_tol": within.astype(bool), "sum_ok": sum_ok}
     )
+
+
+def _kcore_local(pairs: list[tuple[str, str]]) -> dict[str, int]:
+    """Driver-local core-number reference: phase peeling (for ascending k,
+    repeatedly delete nodes with current degree < k; a node deleted in
+    phase k has core number k−1).  Bounded-graph path + the independent
+    reference for the boolean gate."""
+    from collections import defaultdict
+
+    adj: dict[str, set] = defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {n: len(s) for n, s in adj.items()}
+    core: dict[str, int] = {}
+    alive = set(adj)
+    k = 1
+    while alive:
+        while True:
+            low = [n for n in alive if deg[n] < k]
+            if not low:
+                break
+            for n in low:
+                core[n] = k - 1
+                alive.discard(n)
+                for m in adj[n]:
+                    if m in alive:
+                        deg[m] -= 1
+        k += 1
+    return core
+
+
+def kg_kcore(edges_ds, small_edge_limit: int = 2_000_000):
+    """(entity_id, core) — k-core decomposition of the undirected simple
+    KG entity graph (self-loops dropped): ``core`` is the largest k such
+    that the node survives in the subgraph where every node has degree
+    ≥ k.  The density-stratification analytic next to degrees / triangles
+    / pagerank / components: core number separates hub-dense regions from
+    peripheral tendrils.
+
+    Same size-gated plan as :func:`kg_components`: below
+    ``small_edge_limit`` the collected pair list peels driver-local;
+    above it, distributed phase peeling runs — per round ONE bucketed
+    degree reduce over the active edge table plus one map-side filter
+    against the broadcast just-removed node set.  The driver holds only
+    node-bounded state (the alive set and assigned cores — the canonical
+    entity vocabulary, not the corpus; the same boundedness argument as
+    the dense-pagerank plan), while the edge table itself stays
+    distributed throughout.
+    """
+    import ray
+
+    from ..functions.grouping import bucketed_group_apply
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["src_id"].astype(str)
+        v = df["dst_id"].astype(str)
+        out = pd.DataFrame({"u": np.minimum(u, v), "v": np.maximum(u, v)})
+        out = out[out["u"] != out["v"]]  # simple graph: drop self-loops
+        return out.drop_duplicates()
+
+    pairs = bucketed_group_apply(
+        edges_ds.map_batches(to_pairs, batch_format="pandas"), ["u", "v"],
+        lambda df: df.drop_duplicates(),
+    ).materialize()
+
+    def finish(core: dict[str, int]):
+        nodes = sorted(core)
+        return ray.data.from_pandas(pd.DataFrame(
+            {"entity_id": pd.array(nodes, dtype="string"),
+             "core": pd.array([core[n] for n in nodes], dtype="int64")}
+        ))
+
+    if pairs.count() <= small_edge_limit:
+        ep = pairs.to_pandas()
+        return finish(_kcore_local(list(zip(ep["u"], ep["v"]))))
+
+    # ---- distributed phase peeling ----
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([df["u"], df["v"]], ignore_index=True)}
+        ).drop_duplicates()
+
+    alive = set(
+        bucketed_group_apply(
+            pairs.map_batches(node_rows, batch_format="pandas"), "node",
+            lambda df: df.drop_duplicates(),
+        ).to_pandas()["node"]
+    )  # node-bounded driver state
+    core: dict[str, int] = {}
+    active = pairs
+    k = 1
+    while alive:
+        # degrees of the active simple graph (node-bounded output)
+        def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+            s = pd.concat([df["u"], df["v"]], ignore_index=True)
+            out = s.value_counts().rename_axis("node").reset_index(
+                name="deg")
+            return out
+
+        def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("node", as_index=False)["deg"].sum()
+            out["deg"] = out["deg"].astype("int64")
+            return out
+
+        deg_df = bucketed_group_apply(
+            active.map_batches(deg_partial, batch_format="pandas"),
+            "node", deg_merge,
+        ).to_pandas()
+        deg = dict(zip(deg_df["node"], deg_df["deg"]))
+        low = {n for n in alive if deg.get(n, 0) < k}
+        if not low:
+            k += 1
+            continue
+        for n in low:
+            core[n] = k - 1
+        alive -= low
+        if not alive:
+            break
+        low_ref = ray.put(frozenset(low))
+
+        def drop_removed(df: pd.DataFrame) -> pd.DataFrame:
+            rm = ray.get(low_ref)
+            return df[~df["u"].isin(rm) & ~df["v"].isin(rm)]
+
+        active = active.map_batches(
+            drop_removed, batch_format="pandas"
+        ).materialize()  # one-round-deep lineage, like pagerank's ranks
+    return finish(core)
+
+
+def kg_kcore_check(edges_ds, tol_rows: bool = True):
+    """Boolean-verdict gate for :func:`kg_kcore` (same pattern as
+    :func:`kg_pagerank_check`): the DISTRIBUTED phase-peeling plan
+    (``small_edge_limit=0``) must agree exactly, node for node, with the
+    independent driver-local peeling reference — emitted as literal
+    booleans whose SQL oracle is the edge-endpoint node universe + TRUE
+    (self-loop-only nodes excluded, matching the simple-graph semantics).
+    Integer core numbers make the verdict exact (no ε needed)."""
+    from ..functions.grouping import bucketed_group_apply
+
+    distributed = kg_kcore(edges_ds, small_edge_limit=0).to_pandas()
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["src_id"].astype(str)
+        v = df["dst_id"].astype(str)
+        out = pd.DataFrame({"u": np.minimum(u, v), "v": np.maximum(u, v)})
+        out = out[out["u"] != out["v"]]
+        return out.drop_duplicates()
+
+    ep = bucketed_group_apply(
+        edges_ds.map_batches(to_pairs, batch_format="pandas"), ["u", "v"],
+        lambda df: df.drop_duplicates(),
+    ).to_pandas()
+    ref = _kcore_local(list(zip(ep["u"], ep["v"])))
+    nodes = sorted(ref)
+    got = distributed.set_index("entity_id")["core"].reindex(nodes)
+    ok = got.notna() & (got.fillna(-1).astype("int64").to_numpy()
+                        == np.array([ref[n] for n in nodes]))
+    count_ok = bool(len(distributed) == len(nodes))
+    return pd.DataFrame({
+        "node": nodes,
+        "core_match": ok.to_numpy(),
+        "count_ok": count_ok,
+    })

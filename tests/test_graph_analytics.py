@@ -111,3 +111,37 @@ def test_kg_triangles_distributed_path_matches_local(ray_session):
     dist = kg_triangles(_edges_ds(edges), small_edge_limit=0).to_pandas()
     key = lambda df: df.sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(key(local), key(dist[local.columns]))
+
+
+@pytest.mark.parametrize("small_edge_limit", [2_000_000, 0])
+def test_kg_kcore_known_graph(ray_session, small_edge_limit):
+    """K4 {a,b,c,d} is a 3-core; a triangle {d,e,f} hanging off it is a
+    2-core; a pendant chain g-h off node a is the 1-core fringe.
+    Self-loops and duplicate/reversed edges must not change anything.
+    Both physical plans (driver-local peel and distributed phase peeling,
+    forced via small_edge_limit=0) agree."""
+    from nlp_series_relation_extraction_ray.pipelines.kg import kg_kcore
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"),                      # K4
+             ("d", "e"), ("e", "f"), ("f", "d"),  # triangle at d
+             ("a", "g"), ("g", "h"),          # pendant chain
+             ("b", "a"), ("a", "a")]          # reverse dup + self-loop
+    got = kg_kcore(
+        _edges_ds(edges), small_edge_limit=small_edge_limit
+    ).to_pandas().set_index("entity_id")["core"].to_dict()
+    want = {"a": 3, "b": 3, "c": 3, "d": 3, "e": 2, "f": 2, "g": 1, "h": 1}
+    assert got == want
+
+
+def test_kg_kcore_check_all_true(ray_session):
+    """The boolean gate verdicts are all TRUE on the known graph."""
+    from nlp_series_relation_extraction_ray.pipelines.kg import (
+        kg_kcore_check,
+    )
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")]
+    out = kg_kcore_check(_edges_ds(edges))
+    assert len(out) == 5
+    assert out["core_match"].all()
+    assert bool(out["count_ok"].all())

@@ -147,6 +147,7 @@ def _check(entry_mod, con, name):
         "docs_url_domains",
         "docs_rare_token_stats",
         "custs_priority_mode",
+        "kg_kcore_check",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):

@@ -813,6 +813,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             # MODE aggregate with deterministic tie-break (argmax reduce)
             "custs_priority_mode": rel.custs_priority_mode,
+            # relational DIVISION (division-by-counting, broadcast divisor)
+            "events_full_coverage_users": rel.events_full_coverage_users,
         }
     )
     return q
@@ -984,6 +986,7 @@ FROM (VALUES ('baseline-trained'), ('mpn-trained'), ('mhs-trained'),
         "docs_url_domains": ts.URL_DOMAINS_SQL,
         "docs_rare_token_stats": ts.RARE_TOKEN_STATS_SQL,
         "custs_priority_mode": rel.PRIORITY_MODE_SQL,
+        "events_full_coverage_users": rel.FULL_COVERAGE_SQL,
         "emb_ivf_recall_check": sim.IVF_RECALL_CHECK_SQL,
         "events_value_ma_1h": rel.VALUE_MA_1H_SQL,
         "docs_langid_confusion": ts.LANGID_CONFUSION_SQL,

@@ -252,6 +252,7 @@ def bench_queries(sf_dir: str) -> dict:
         "docs_rare_token_stats",
         "custs_priority_mode",
         "kg_kcore",
+        "events_full_coverage_users",
     ]
     qs = entry.queries()
     # the KG build cost is reported by bench_kg; pre-warm the shared edge

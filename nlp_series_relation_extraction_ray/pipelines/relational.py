@@ -3256,3 +3256,65 @@ SELECT o_custkey, o_orderpriority AS mode_priority,
   CAST(cnt AS BIGINT) AS n_orders_at_mode
 FROM r WHERE rn = 1
 """
+
+
+HI_COVER_CENTS = 10000  # value >= 100.00, in exact cents
+
+
+def events_full_coverage_users(sf_dir: str):
+    """Relational DIVISION: users with a high-value (≥ 100.00) event of
+    EVERY event type that occurs among high-value events — the
+    "suppliers-of-all-parts" query shape, done as division-by-counting.
+
+    Scale shape: map-side distinct (user, type) pairs per batch (the
+    exchange is bounded by #types rows per user per batch, never the
+    events), one user-keyed bucketed reduce counts each user's distinct
+    types, and the divisor — the global distinct-type count — folds from
+    the SAME partials through a tiny coalesced reduce and ships as one
+    broadcast scalar.  No corpus-sized side ever concentrates.
+    """
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        hi = df[cents(df["value"].to_numpy()) >= HI_COVER_CENTS]
+        out = hi[["user_id", "event_type"]].drop_duplicates()
+        return table_from_pandas(out, preserve_index=False)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    # divisor: global distinct type count (type universe is tiny)
+    k = int(
+        pairs.map_batches(
+            lambda df: df[["event_type"]].drop_duplicates(),
+            batch_format="pandas",
+        ).to_pandas()["event_type"].nunique()
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.drop_duplicates()
+            .groupby("user_id", as_index=False)
+            .agg(n_types=("event_type", "nunique"))
+        )
+        out = out[out["n_types"] == k][["user_id"]]
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    from ..functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(pairs, "user_id", merge)
+
+
+FULL_COVERAGE_SQL = """
+WITH hi AS (
+  SELECT user_id, event_type FROM events
+  WHERE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 10000
+),
+n AS (SELECT COUNT(DISTINCT event_type) AS k FROM hi)
+SELECT user_id FROM hi
+GROUP BY user_id
+HAVING COUNT(DISTINCT event_type) = (SELECT k FROM n)
+"""

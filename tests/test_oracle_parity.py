@@ -148,6 +148,7 @@ def _check(entry_mod, con, name):
         "docs_rare_token_stats",
         "custs_priority_mode",
         "kg_kcore_check",
+        "events_full_coverage_users",
     ],
 )
 def test_query_matches_oracle(entry_mod, con, name):
